@@ -1,0 +1,217 @@
+"""BabyBear prime field (p = 2^31 - 2^27 + 1) as vectorized uint32 Montgomery lanes.
+
+This is the TPU-native equivalent of the reference's field layer:
+
+* the Rust side uses ``p3-baby-bear`` / ``p3-monty-31`` (32-bit Montgomery form,
+  consumed at ``/root/reference/native/src/fib_air.rs:9-10`` and
+  ``backend_vulkan.rs:977-996``);
+* the reference WGSL shader does the same Montgomery arithmetic with native u64
+  (``/root/reference/native/shaders/fft_stage.wgsl:36-70``, constants PRIME =
+  0x78000001, MU = 0x88000001 at ``backend_vulkan.rs:883-885``).
+
+TPUs have no 64-bit integer multiply on the VPU, so the 32x32->64 product is
+decomposed into 16-bit limb products recombined in uint32 (SURVEY.md par7.2 "hard
+parts" #1).  Everything here is pure ``jax.numpy`` on uint32 arrays and fuses
+under jit; the Pallas NTT kernel re-uses the same formulas.
+
+Conventions
+-----------
+* Device arrays hold field elements in **Montgomery form** (``x * 2^32 mod p``),
+  dtype uint32, always reduced to ``[0, p)`` — mirroring p3's `MontyField31`.
+* ``to_u32`` / ``from_u32`` convert to/from the canonical residue
+  (= p3 ``to_unique_u32`` / ``new``, used at ``backend_vulkan.rs:2005,2023``).
+* Host-side exact helpers use numpy uint64 (products of 31-bit values fit).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants (verified: P * MU == 1 mod 2^32; 31 generates the full group).
+# ---------------------------------------------------------------------------
+P = 0x78000001  # 2^31 - 2^27 + 1
+MU = 0x88000001  # P^{-1} mod 2^32  (p3 MONTY_MU; fft_stage.wgsl:38)
+TWO_ADICITY = 27  # p - 1 = 2^27 * 15
+GENERATOR = 31  # multiplicative generator of F_p^*
+MONTY_R = (1 << 32) % P  # Montgomery form of 1  = 0x0ffffffe
+MONTY_R2 = (1 << 64) % P  # for canonical -> Monty conversion
+# Root of the 2^27 subgroup = 31 ** 15 mod p = 0x1a427a41 (same value as
+# Plonky3's two_adic_generator(27); derived, not copied).
+ROOT_27 = pow(GENERATOR, (P - 1) >> TWO_ADICITY, P)
+
+_P32 = np.uint32(P)
+_MU32 = np.uint32(MU)
+_MASK16 = np.uint32(0xFFFF)
+
+u32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Host (python int / numpy) helpers — exact, used for twiddle precompute and
+# as the differential-test oracle.
+# ---------------------------------------------------------------------------
+def host_to_monty(x: int) -> int:
+    return (x << 32) % P
+
+
+def host_from_monty(x: int) -> int:
+    return (x * pow(1 << 32, P - 2, P)) % P
+
+
+def host_monty_mul(a: int, b: int) -> int:
+    """REDC on python ints: inputs/outputs in Monty form, [0, p)."""
+    x = a * b
+    t = (x * MU) & 0xFFFFFFFF
+    u = t * P
+    r = (x - u) >> 32
+    return r + P if r < 0 else r
+
+
+def np_powers(base_canonical: int, n: int) -> np.ndarray:
+    """[1, w, w^2, ..., w^(n-1)] canonical form, uint32, via doubling (O(log n) vector steps)."""
+    out = np.array([1], dtype=np.uint64)
+    w = base_canonical % P
+    while len(out) < n:
+        step = pow(w, len(out), P)
+        out = np.concatenate([out, (out * step) % P])
+    return out[:n].astype(np.uint32)
+
+
+def np_to_monty(x: np.ndarray) -> np.ndarray:
+    return ((x.astype(np.uint64) << 32) % P).astype(np.uint32)
+
+
+def np_from_monty(x: np.ndarray) -> np.ndarray:
+    inv_r = pow(1 << 32, P - 2, P)
+    return ((x.astype(np.uint64) * inv_r) % P).astype(np.uint32)
+
+
+def two_adic_generator(bits: int) -> int:
+    """Canonical generator of the order-2^bits subgroup (p3 semantics:
+    successive squares of the 2^27 root; fib_air ref backend_vulkan.rs:977-996)."""
+    assert 0 <= bits <= TWO_ADICITY
+    return pow(ROOT_27, 1 << (TWO_ADICITY - bits), P)
+
+
+# ---------------------------------------------------------------------------
+# Device (jnp uint32) kernels.
+# ---------------------------------------------------------------------------
+def _umul32_wide(a, b):
+    """Full 32x32 -> (hi, lo) product via 16-bit limbs (TPU has no u64 mul)."""
+    a0 = a & _MASK16
+    a1 = a >> 16
+    b0 = b & _MASK16
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    # mid = lh + hl + (ll >> 16); lh + (ll>>16) cannot overflow u32.
+    mid = lh + (ll >> 16)
+    mid2 = mid + hl
+    carry = (mid2 < mid).astype(u32)  # wrapped iff result < addend
+    lo = (ll & _MASK16) | (mid2 << 16)
+    hi = hh + (mid2 >> 16) + (carry << 16)
+    return hi, lo
+
+
+def _mul_lo32(a, b):
+    """Low 32 bits of a*b (3 limb products)."""
+    a0 = a & _MASK16
+    a1 = a >> 16
+    b0 = b & _MASK16
+    b1 = b >> 16
+    return a0 * b0 + ((a0 * b1 + a1 * b0) << 16)
+
+
+def _check_u32(*xs):
+    # Trace-time contract check (free at runtime): Monty lanes must be uint32;
+    # signed dtypes would corrupt the limb shifts silently.
+    for x in xs:
+        if hasattr(x, "dtype") and x.dtype != jnp.uint32:
+            raise TypeError(f"BabyBear ops require uint32 Monty lanes, got {x.dtype}")
+
+
+def add(a, b):
+    _check_u32(a, b)
+    s = a + b  # < 2^32 since both < p < 2^31
+    return jnp.where(s >= _P32, s - _P32, s)
+
+
+def sub(a, b):
+    d = a - b
+    return jnp.where(a < b, d + _P32, d)
+
+
+def neg(a):
+    return jnp.where(a == 0, a, _P32 - a)
+
+
+def mul(a, b):
+    """Montgomery product of Monty-form operands; result reduced to [0, p)."""
+    _check_u32(a, b)
+    hi, lo = _umul32_wide(a, b)
+    t = _mul_lo32(lo, _MU32)
+    u_hi, _ = _umul32_wide(t, _P32)  # u_lo == lo by REDC identity
+    r = hi - u_hi
+    return jnp.where(hi < u_hi, r + _P32, r)
+
+
+def from_u32(x):
+    """Canonical residue -> Monty form (multiply by R^2 then REDC)."""
+    return mul(x, jnp.asarray(np.uint32(MONTY_R2)))
+
+
+def to_u32(x):
+    """Monty form -> canonical residue (REDC of the bare value)."""
+    t = _mul_lo32(x, _MU32)
+    u_hi, _ = _umul32_wide(t, _P32)
+    # hi part of input is 0: r = 0 - u_hi
+    r = jnp.asarray(np.uint32(0)) - u_hi
+    return jnp.where(u_hi > 0, r + _P32, r)
+
+
+def pow_const(a, e: int):
+    """a^e for a static non-negative integer exponent (square-and-multiply)."""
+    acc = None
+    base = a
+    while e:
+        if e & 1:
+            acc = base if acc is None else mul(acc, base)
+        e >>= 1
+        if e:
+            base = mul(base, base)
+    if acc is None:
+        return jnp.full_like(a, np.uint32(MONTY_R))
+    return acc
+
+
+def inv(a):
+    """Field inverse via Fermat (a^(p-2)); inv(0) = 0."""
+    return pow_const(a, P - 2)
+
+
+def monty_ones(shape):
+    return jnp.full(shape, np.uint32(MONTY_R), dtype=u32)
+
+
+def monty_scalar(x: int):
+    """Python int -> 0-d Monty uint32 device scalar."""
+    return jnp.asarray(np.uint32(host_to_monty(x % P)))
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_powers_monty(base_canonical: int, n: int) -> np.ndarray:
+    return np_to_monty(np_powers(base_canonical, n))
+
+
+def powers_monty(base_canonical: int, n: int) -> jnp.ndarray:
+    """Device array [1, w, ..., w^(n-1)] in Monty form (host-precomputed, cached
+    per (base, n) — the analog of the reference's per-log_n twiddle cache,
+    backend_vulkan.rs:977-996)."""
+    return jnp.asarray(_cached_powers_monty(base_canonical % P, n))
