@@ -1,0 +1,123 @@
+"""Batched radix-2 DIT NTT over BabyBear — the XLA compute path.
+
+This is the central kernel of the framework, the TPU-native rebuild of the
+reference's Vulkan NTT (per-stage butterflies over an h x w column batch,
+``/root/reference/native/shaders/fft_stage.wgsl:75-136``, host orchestration
+``backend_vulkan.rs:1028-1426``) and of the CPU ``Radix2DitParallel`` it falls
+back to (``gpu_dft.rs:94-115``).
+
+Differences from the reference, by design (SURVEY.md par2.3, par5.7):
+
+* The stage loop is **traced once and compiled** — all stages, the bit
+  reversal, and the twiddle multiplies fuse into one XLA program; there is no
+  per-stage dispatch, no pipeline barrier, no host<->device staging copy. The
+  reference's "single fence per DFT" lesson becomes "never leave the jitted
+  graph".
+* Bit-reversal is a reshape/transpose (layout move), not a host-side scatter
+  into a staging buffer (backend_vulkan.rs:998-1026).
+* Twiddles are host-precomputed once per log_n and cached as device constants
+  (the analog of the per-log_n twiddle cache, backend_vulkan.rs:977-996);
+  stage s uses w_{2m}^j for m = 2^s, j < m, the same geometry as the WGSL
+  shader (fft_stage.wgsl:90-136).
+
+Layout: (h, w) uint32 Monty arrays, rows = domain points (natural order in and
+out), columns = independent polynomials.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import babybear as bb
+from ..matrix import log2_strict, reverse_matrix_index_bits
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles_np(log_h: int, inverse: bool) -> tuple[np.ndarray, ...]:
+    """Monty twiddle table per stage: stage s (s=0..log_h-1) holds
+    [w_{2m}^0 .. w_{2m}^{m-1}], m = 2^s, where w_{2m} = two_adic_generator(s+1)
+    (or its inverse for the iNTT)."""
+    out = []
+    for s in range(log_h):
+        root = bb.two_adic_generator(s + 1)
+        if inverse:
+            root = pow(root, bb.P - 2, bb.P)
+        out.append(bb.np_to_monty(bb.np_powers(root, 1 << s)))
+    return tuple(out)
+
+
+def _stage_twiddles(log_h: int, inverse: bool) -> tuple[jnp.ndarray, ...]:
+    return tuple(jnp.asarray(t) for t in _stage_twiddles_np(log_h, inverse))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _dit_core(log_h: int, x: jnp.ndarray, *twiddles: jnp.ndarray) -> jnp.ndarray:
+    """Bit-reverse rows, then log_h butterfly stages. Static unrolled loop —
+    XLA sees straight-line code with static shapes (SURVEY.md par7.2 jit-cache
+    per (log_n, width) plan)."""
+    h, w = x.shape
+    x = reverse_matrix_index_bits(x)
+    for s in range(log_h):
+        m = 1 << s
+        tw = twiddles[s]  # (m,)
+        y = x.reshape(h // (2 * m), 2, m, w)
+        lo = y[:, 0]
+        hi = bb.mul(y[:, 1], tw[None, :, None])
+        x = jnp.stack([bb.add(lo, hi), bb.sub(lo, hi)], axis=1).reshape(h, w)
+    return x
+
+
+def dft_batch(mat: jnp.ndarray) -> jnp.ndarray:
+    """NTT of each column: out[i] = sum_j mat[j] * g^(i*j), g = generator of
+    the order-h subgroup; natural-order rows in and out (p3 Radix2Dit
+    semantics, consumed via gpu_dft.rs:94-115)."""
+    log_h = log2_strict(mat.shape[0])
+    if log_h == 0:
+        return mat
+    return _dit_core(log_h, mat, *_stage_twiddles(log_h, False))
+
+
+def idft_batch(mat: jnp.ndarray) -> jnp.ndarray:
+    """Inverse NTT: forward with g^-1 twiddles, scaled by h^-1."""
+    h = mat.shape[0]
+    log_h = log2_strict(h)
+    if log_h == 0:
+        return mat
+    out = _dit_core(log_h, mat, *_stage_twiddles(log_h, True))
+    h_inv = bb.monty_scalar(pow(h, bb.P - 2, bb.P))
+    return bb.mul(out, h_inv)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _coset_scale(coeffs: jnp.ndarray, shift: int, h: int) -> jnp.ndarray:
+    """coeffs[i] *= shift^i — turns the subgroup DFT into a coset DFT."""
+    pows = bb.powers_monty(shift, h)
+    return bb.mul(coeffs, pows[:, None])
+
+
+def coset_dft_batch(mat: jnp.ndarray, shift: int) -> jnp.ndarray:
+    return dft_batch(_coset_scale(mat, shift, mat.shape[0]))
+
+
+def coset_idft_batch(mat: jnp.ndarray, shift: int) -> jnp.ndarray:
+    inv_shift = pow(shift, bb.P - 2, bb.P)
+    return _coset_scale(idft_batch(mat), inv_shift, mat.shape[0])
+
+
+def coset_lde_batch(mat: jnp.ndarray, added_bits: int, shift: int = 1) -> jnp.ndarray:
+    """Low-degree extend each column onto the coset shift*<g'> of size
+    h << added_bits: iNTT -> coset scale -> zero-pad -> NTT.  This is the
+    p3-dft trait-default derivation the whole prover rides on (every LDE in
+    prove() funnels here; SURVEY.md par3.1 'every LDE: pcs -> dft.coset_lde_batch')."""
+    h, w = mat.shape
+    coeffs = idft_batch(mat)
+    padded = jnp.zeros((h << added_bits, w), dtype=bb.u32).at[:h].set(coeffs)
+    return coset_dft_batch(padded, shift)
+
+
+def lde_batch(mat: jnp.ndarray, added_bits: int) -> jnp.ndarray:
+    return coset_lde_batch(mat, added_bits, 1)
