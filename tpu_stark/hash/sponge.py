@@ -1,0 +1,128 @@
+"""Sponge / serializing-hasher / compression constructions over Keccak-f.
+
+TPU-native rebuild of the ``p3-symmetric`` stack assembled by the reference at
+``/root/reference/native/src/fib_air.rs:28-51``:
+
+* ``PaddingFreeSponge<KeccakF, 25, 17, 4>`` — absorb u64 items in rate-17
+  chunks by **overwriting** the first len(chunk) state lanes, permute after
+  every chunk (including the final partial one), squeeze the first 4 lanes.
+* ``SerializingHasher`` — hash BabyBear values by serializing canonical u32s
+  and packing little-endian pairs into u64 items (first element = low half).
+* ``CompressionFunctionFromHasher<_, 2, 4>`` — compress two 4-u64 digests by
+  hashing their concatenation.
+
+Host versions (python ints) drive the sequential transcript; batched versions
+(uint32 (lo, hi) pairs, arbitrary leading leaf axis) drive Merkle layers on
+the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import keccak
+
+WIDTH = 25
+RATE = 17
+OUT = 4
+
+
+# ---------------------------------------------------------------------------
+# Host (sequential, python ints)
+# ---------------------------------------------------------------------------
+def sponge_hash_u64s(items: Sequence[int]) -> Tuple[int, int, int, int]:
+    """PaddingFreeSponge over u64 items (overwrite-absorb, permute per chunk)."""
+    state = [0] * WIDTH
+    items = list(items)
+    if not items:
+        return (0, 0, 0, 0)
+    for off in range(0, len(items), RATE):
+        chunk = items[off : off + RATE]
+        for i, v in enumerate(chunk):
+            state[i] = v & keccak.U64
+        state = keccak.keccak_f(state)
+    return tuple(state[:OUT])  # type: ignore[return-value]
+
+
+def pack_u32s_to_u64s(values_u32: Sequence[int]) -> List[int]:
+    """Little-endian pair packing: u64 = lo | (hi << 32); odd tail zero-padded
+    high (SerializingHasher semantics for 32-bit fields into a u64 sponge)."""
+    out = []
+    vals = list(values_u32)
+    for i in range(0, len(vals), 2):
+        lo = vals[i] & 0xFFFFFFFF
+        hi = (vals[i + 1] & 0xFFFFFFFF) if i + 1 < len(vals) else 0
+        out.append(lo | (hi << 32))
+    return out
+
+
+def hash_field_row(values_u32: Sequence[int]) -> Tuple[int, int, int, int]:
+    """SerializingHasher(PaddingFreeSponge) of canonical u32 field values."""
+    return sponge_hash_u64s(pack_u32s_to_u64s(values_u32))
+
+
+def compress_digests(
+    left: Sequence[int], right: Sequence[int]
+) -> Tuple[int, int, int, int]:
+    """CompressionFunctionFromHasher<_, 2, 4>: H(left || right)."""
+    return sponge_hash_u64s(list(left) + list(right))
+
+
+# ---------------------------------------------------------------------------
+# Batched (jnp, leading leaf axis)
+# ---------------------------------------------------------------------------
+LanePair = keccak.LanePair
+
+
+def _zeros_state(batch_shape) -> List[LanePair]:
+    z = jnp.zeros(batch_shape, dtype=jnp.uint32)
+    return [(z, z) for _ in range(WIDTH)]
+
+
+def sponge_hash_u64s_batched(items: Sequence[LanePair]) -> List[LanePair]:
+    """Batched PaddingFreeSponge: `items` is a sequence of (lo, hi) uint32
+    array pairs (one u64 item each, shared batch shape). Returns 4 lane pairs."""
+    assert items, "empty sponge input"
+    batch_shape = items[0][0].shape
+    state = _zeros_state(batch_shape)
+    for off in range(0, len(items), RATE):
+        chunk = items[off : off + RATE]
+        for i, v in enumerate(chunk):
+            state[i] = v
+        state = keccak.keccak_f_batched(state)
+    return state[:OUT]
+
+
+def pack_matrix_rows_to_u64s(mat_u32: jnp.ndarray) -> List[LanePair]:
+    """(N, k) canonical uint32 matrix -> k/2 rounded-up u64 items per row,
+    little-endian pair packing along the row."""
+    n, k = mat_u32.shape
+    items: List[LanePair] = []
+    for i in range(0, k, 2):
+        lo = mat_u32[:, i]
+        hi = (
+            mat_u32[:, i + 1]
+            if i + 1 < k
+            else jnp.zeros((n,), dtype=jnp.uint32)
+        )
+        items.append((lo, hi))
+    return items
+
+
+def hash_field_rows_batched(mat_u32: jnp.ndarray) -> jnp.ndarray:
+    """Hash each row of an (N, k) canonical-u32 matrix -> (N, 4, 2) uint32
+    digests (dim 2 = [lo, hi] of each u64 digest word)."""
+    out = sponge_hash_u64s_batched(pack_matrix_rows_to_u64s(mat_u32))
+    return jnp.stack([jnp.stack([lo, hi], axis=-1) for lo, hi in out], axis=-2)
+
+
+def compress_digests_batched(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """Compress (N, 4, 2) digest arrays pairwise -> (N, 4, 2)."""
+    items = [(left[:, i, 0], left[:, i, 1]) for i in range(OUT)] + [
+        (right[:, i, 0], right[:, i, 1]) for i in range(OUT)
+    ]
+    out = sponge_hash_u64s_batched(items)
+    return jnp.stack([jnp.stack([lo, hi], axis=-1) for lo, hi in out], axis=-2)
