@@ -1,0 +1,91 @@
+"""Concrete prover/verifier AIR builders.
+
+* ``QuotientBuilder`` — the vectorized prover pass: constraints evaluated over
+  every point of the quotient domain at once as base-field device vectors, and
+  alpha-folded into an extension accumulator.  This is the TPU replacement for
+  p3-uni-stark's ``quotient_values`` loop (SURVEY.md par3.1: "quotient eval over
+  LDE domain"): no per-row loop, one fused XLA program over the whole domain.
+* ``VerifierBuilder`` — the same constraints evaluated once at zeta on the
+  host in BabyBear^4 (the verifier's ConstraintFolder mirror).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+
+from ..fields import babybear as bb
+from ..fields import extension as ext4
+from ..fields import ref_field as rf
+from .air import AirBuilder
+from .values import DevVal, HostExtVal
+
+
+class QuotientBuilder(AirBuilder):
+    """Builder over the quotient evaluation domain (device, base field)."""
+
+    def __init__(
+        self,
+        main_local: jnp.ndarray,  # (m, w) Monty
+        main_next: jnp.ndarray,  # (m, w) Monty
+        selectors: dict,  # base device vectors over the domain
+        public_values: Sequence[int],  # canonical ints
+        alpha: tuple,  # ext point, canonical
+    ):
+        m, w = main_local.shape
+        super().__init__(
+            main_rows=[
+                [DevVal(main_local[:, c]) for c in range(w)],
+                [DevVal(main_next[:, c]) for c in range(w)],
+            ],
+            is_first_row=DevVal(selectors["is_first_row"]),
+            is_last_row=DevVal(selectors["is_last_row"]),
+            is_transition=DevVal(selectors["is_transition"]),
+            public_values=[DevVal(bb.monty_scalar(int(p))) for p in public_values],
+        )
+        self._alpha = alpha
+        self._alpha_pow = (1, 0, 0, 0)
+        self._acc = ext4.zero((m,))
+
+    def _accumulate(self, x) -> None:
+        apow = ext4.scalar(self._alpha_pow)
+        self._acc = ext4.add(self._acc, ext4.mul_base(apow[None, :], x.arr))
+        self._alpha_pow = rf.emul(self._alpha_pow, self._alpha)
+
+    def folded_constraints(self) -> jnp.ndarray:
+        """sum_i alpha^i * C_i over the domain, ext-valued (m, 4)."""
+        return self._acc
+
+
+class VerifierBuilder(AirBuilder):
+    """Builder at the out-of-domain point zeta (host, BabyBear^4)."""
+
+    def __init__(
+        self,
+        opened_local: List[tuple],  # [w] ext values
+        opened_next: List[tuple],
+        selectors: dict,  # ext values at zeta
+        public_values: Sequence[int],
+        alpha: tuple,
+    ):
+        super().__init__(
+            main_rows=[
+                [HostExtVal(v) for v in opened_local],
+                [HostExtVal(v) for v in opened_next],
+            ],
+            is_first_row=HostExtVal(selectors["is_first_row"]),
+            is_last_row=HostExtVal(selectors["is_last_row"]),
+            is_transition=HostExtVal(selectors["is_transition"]),
+            public_values=[HostExtVal.from_base(int(p)) for p in public_values],
+        )
+        self._alpha = tuple(alpha)
+        self._alpha_pow = (1, 0, 0, 0)
+        self._acc = (0, 0, 0, 0)
+
+    def _accumulate(self, x) -> None:
+        self._acc = rf.eadd(self._acc, rf.emul(self._alpha_pow, x.c))
+        self._alpha_pow = rf.emul(self._alpha_pow, self._alpha)
+
+    def folded_constraints(self) -> tuple:
+        return self._acc

@@ -1,0 +1,530 @@
+"""TwoAdicFriPcs — the FRI polynomial commitment scheme, with optional hiding.
+
+TPU-native rebuild of ``p3-fri``'s ``TwoAdicFriPcs`` + ``HidingFriPcs`` as
+assembled by the reference (``/root/reference/native/src/fib_air.rs:54-65``):
+
+* ``commit``: per matrix, interpret the evals on their domain as a polynomial,
+  low-degree extend by ``2^log_blowup`` onto the generator coset, and commit
+  the **bit-reversed** rows in a (optionally salted/hiding) Keccak Merkle tree.
+* ``open``:  observe all out-of-domain values, sample one alpha, combine every
+  (matrix, point, column) quotient ``(p(x)-p(z))/(x-z)`` into one reduced
+  codeword per height, then run the FRI commit phase (arity-2 folds), grind
+  the proof-of-work, and answer query indices with Merkle openings.
+* hiding (``num_random_codewords > 0``, the reference's ``HidingFriPcs`` with
+  4 random codewords, fib_air.rs:63-65): an extra commitment of random
+  degree-<n codewords is mixed into the batch so query openings reveal nothing
+  about the committed polynomials beyond the claimed evaluations.
+
+Frame convention: every committed codeword is relabeled onto the *plain*
+subgroup (rows of height H live at y = g_H^bitrev(i)); out-of-domain points
+map to ``zeta / GENERATOR`` uniformly.  Relabeling by a multiplicative shift
+preserves degree, so one FRI run covers all rounds (this mirrors p3's
+shift-free ``fold_row``).
+
+Device/host split (SURVEY.md par7.2): LDEs, reduced openings, folds and Merkle
+layers are jitted device work; per-query path verification and the transcript
+are host tails.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..challenger.challenger import Challenger
+from ..compat.smallrng import SmallRng
+from ..fields import babybear as bb
+from ..fields import extension as ext4
+from ..fields import ref_field as rf
+from ..fri.config import FriParameters
+from ..fri.domains import ExtPoint, TwoAdicCoset
+from ..matrix import bit_reversal_perm, log2_strict, reverse_matrix_index_bits
+from ..ntt.dft import Dft
+from .merkle import BatchOpening, Digest, MerkleTreeMmcs
+
+
+# ---------------------------------------------------------------------------
+# Proof structures
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class CommitPhaseStep:
+    opening: BatchOpening  # the (pair) row of the folded codeword + path
+
+
+@dataclasses.dataclass
+class QueryProof:
+    input_openings: List[BatchOpening]  # one per commit round
+    commit_phase_openings: List[CommitPhaseStep]
+
+
+@dataclasses.dataclass
+class FriProof:
+    commit_phase_commits: List[Digest]
+    query_proofs: List[QueryProof]
+    final_poly: List[ExtPoint]
+    pow_witness: int
+    random_commit: Optional[Digest] = None  # hiding: random-codeword round
+
+
+@dataclasses.dataclass
+class PcsProverData:
+    merkle: object  # MerkleTreeMmcs ProverData
+    r_coeffs: List[jnp.ndarray]  # per matrix: plain-frame coeffs (H_lde, w)
+    domains: List[TwoAdicCoset]
+    widths: List[int]
+
+
+OpenedValues = List[List[List[List[int]]]]
+# [round][matrix][point][column] -> ext value as 4 canonical ints... flattened
+# per column: each entry is an ExtPoint tuple.
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+@jax.jit
+def _eval_at_point(r_coeffs: jnp.ndarray, zpow: jnp.ndarray) -> jnp.ndarray:
+    """r(z) for every column: (H, w) base coeffs x (H, 4) ext powers -> (w, 4)."""
+    prod = bb.mul(r_coeffs[:, :, None], zpow[:, None, :])  # (H, w, 4)
+    return bb.sum_mod(prod, axis=0)
+
+
+def _ext_scale_rows(ext_vec: jnp.ndarray, base_vec: jnp.ndarray) -> jnp.ndarray:
+    """(H, 4) ext times (H,) base, rowwise."""
+    return bb.mul(ext_vec, base_vec[:, None])
+
+
+# ---------------------------------------------------------------------------
+# The PCS
+# ---------------------------------------------------------------------------
+class TwoAdicFriPcs:
+    def __init__(
+        self,
+        dft: Dft,
+        fri_params: FriParameters,
+        val_mmcs: Optional[MerkleTreeMmcs] = None,
+        challenge_mmcs: Optional[MerkleTreeMmcs] = None,
+        num_random_codewords: int = 0,
+        rng: Optional[SmallRng] = None,
+    ):
+        self.dft = dft
+        self.fri = fri_params
+        self.val_mmcs = val_mmcs if val_mmcs is not None else MerkleTreeMmcs()
+        self.challenge_mmcs = (
+            challenge_mmcs if challenge_mmcs is not None else MerkleTreeMmcs()
+        )
+        self.num_random_codewords = num_random_codewords
+        self.rng = rng if rng is not None else SmallRng.seed_from_u64(1)
+
+    # -- domains -----------------------------------------------------------
+    def natural_domain_for_degree(self, degree: int) -> TwoAdicCoset:
+        return TwoAdicCoset(log2_strict(degree), 1)
+
+    # -- commit ------------------------------------------------------------
+    def commit(
+        self, domains_and_evals: Sequence[Tuple[TwoAdicCoset, jnp.ndarray]]
+    ) -> Tuple[Digest, PcsProverData]:
+        """Commit bit-reversed coset LDEs of the given evaluation matrices
+        (Monty device arrays, natural row order on their domain)."""
+        ldes_br, r_coeffs, domains, widths = [], [], [], []
+        for domain, evals in domains_and_evals:
+            h, w = int(evals.shape[0]), int(evals.shape[1])
+            assert h == domain.size, "evals height must match domain size"
+            lde_h = h << self.fri.log_blowup
+            # q(y) = p(shift * y); committed codeword = q on (GEN/shift)*K,
+            # relabeled to plain frame r(y) with r = q(sigma * y).
+            sigma = (bb.GENERATOR * rf.finv(domain.shift)) % bb.P
+            q_coeffs = self.dft.idft_batch(evals)
+            sig_pows = bb.powers_monty(sigma, h)
+            r_small = bb.mul(q_coeffs, sig_pows[:, None])
+            r_pad = jnp.zeros((lde_h, w), dtype=bb.u32).at[:h].set(r_small)
+            codeword = self.dft.dft_batch(r_pad)  # r on K_{lde_h}, natural
+            ldes_br.append(reverse_matrix_index_bits(codeword))
+            r_coeffs.append(r_pad)
+            domains.append(domain)
+            widths.append(w)
+        root, merkle_data = self.val_mmcs.commit(ldes_br)
+        return root, PcsProverData(merkle_data, r_coeffs, domains, widths)
+
+    def get_evaluations_on_domain(
+        self, data: PcsProverData, idx: int, domain: TwoAdicCoset
+    ) -> jnp.ndarray:
+        """Natural-order evals of committed polynomial idx on ``domain``
+        (must be a sub-coset of the committed LDE coset)."""
+        own = data.domains[idx]
+        lde_h = own.size << self.fri.log_blowup
+        assert domain.size <= lde_h
+        # committed coset = GEN * K_lde (p-frame); requested domain must be
+        # GEN * K_m: its points are every (lde_h/m)-th point.
+        expected_shift = (own.shift * bb.GENERATOR) % bb.P
+        assert domain.shift == expected_shift % bb.P, (
+            f"domain shift {domain.shift} not the LDE coset {expected_shift}"
+        )
+        codeword_br = data.merkle.matrices[idx]
+        codeword = reverse_matrix_index_bits(codeword_br)
+        stride = lde_h // domain.size
+        return codeword[::stride]
+
+    # -- open --------------------------------------------------------------
+    def open(
+        self,
+        rounds: Sequence[Tuple[PcsProverData, List[List[ExtPoint]]]],
+        challenger: Challenger,
+    ) -> Tuple[OpenedValues, FriProof]:
+        fri = self.fri
+        rounds = list(rounds)
+
+        # Hiding: append a round of random codewords (no opening points).
+        if self.num_random_codewords > 0:
+            max_h = max(
+                int(m.shape[0])
+                for data, _ in rounds
+                for m in data.merkle.matrices
+            )
+            n_max = max_h >> fri.log_blowup
+            rand_coeffs = jnp.asarray(
+                self.rng.sample_babybear_matrix_monty(n_max, self.num_random_codewords)
+            )
+            rand_domain = TwoAdicCoset(log2_strict(n_max), 1)
+            rand_evals = self.dft.dft_batch(rand_coeffs)
+            random_commit, r_data = self.commit([(rand_domain, rand_evals)])
+            challenger.observe_commitment(random_commit)
+            rounds.append((r_data, [[]]))
+        else:
+            random_commit = None
+
+        # 1. Out-of-domain values at z_y = zeta / GENERATOR, observed in order.
+        gen_inv = rf.finv(bb.GENERATOR)
+        opened_values: OpenedValues = []
+        opened_dev: List[List[List[np.ndarray]]] = []
+        for data, points in rounds:
+            rv, rd = [], []
+            for m_idx, mat_points in enumerate(points):
+                mv, md = [], []
+                h = int(data.r_coeffs[m_idx].shape[0])
+                for zeta in mat_points:
+                    z_y = rf.escale(zeta, gen_inv)
+                    zpow = ext4.powers_device(z_y, h)
+                    vals = _eval_at_point(data.r_coeffs[m_idx], zpow)
+                    vals_np = bb.np_from_monty(np.asarray(vals))  # (w, 4)
+                    mv.append([tuple(int(c) for c in row) for row in vals_np])
+                    md.append(np.asarray(vals))
+                rv.append(mv)
+                rd.append(md)
+            opened_values.append(rv)
+            opened_dev.append(rd)
+
+        for rv in opened_values:
+            for mv in rv:
+                for pv in mv:
+                    for val in pv:
+                        challenger.observe_u32s(val)
+
+        alpha = challenger.sample_ext()
+
+        # 2. Reduced openings per log-height (bit-reversed plain-frame).
+        ro: Dict[int, jnp.ndarray] = {}
+        alpha_counter: Dict[int, int] = {}
+        for (data, points), r_opened in zip(rounds, opened_dev):
+            for m_idx, mat_points in enumerate(points):
+                mat_br = data.merkle.matrices[m_idx]
+                h, w = int(mat_br.shape[0]), int(mat_br.shape[1])
+                log_h = log2_strict(h)
+                y_br = _plain_points_br(log_h)
+                if log_h not in ro:
+                    ro[log_h] = ext4.zero((h,))
+                    alpha_counter[log_h] = 0
+                if not mat_points:
+                    # random codewords: mixed in directly (already low degree)
+                    off = alpha_counter[log_h]
+                    apows = _alpha_pows_dev(alpha, off, w)
+                    contrib = _combine_columns(mat_br, apows)
+                    ro[log_h] = ext4.add(ro[log_h], contrib)
+                    alpha_counter[log_h] += w
+                    continue
+                for p_idx, zeta in enumerate(mat_points):
+                    z_y = rf.escale(zeta, gen_inv)
+                    off = alpha_counter[log_h]
+                    apows = _alpha_pows_dev(alpha, off, w)
+                    a_x = _combine_columns(mat_br, apows)  # (h, 4)
+                    p_z = jnp.asarray(r_opened[m_idx][p_idx])  # (w, 4) monty
+                    b = bb.sum_mod(ext4.mul(apows, p_z), axis=0)  # (4,)
+                    z_dev = ext4.scalar(z_y)
+                    diff = ext4.sub(a_x, b[None, :])
+                    y_minus_z = ext4.sub(
+                        ext4.from_base(y_br), z_dev[None, :]
+                    )
+                    contrib = ext4.mul(diff, ext4.inv(y_minus_z))
+                    ro[log_h] = ext4.add(ro[log_h], contrib)
+                    alpha_counter[log_h] += w
+
+        # 3. FRI commit phase.
+        log_max = max(ro)
+        log_min = fri.log_blowup + fri.log_final_poly_len
+        commit_phase_commits: List[Digest] = []
+        commit_phase_data = []
+        current = ro[log_max]
+        log_h = log_max
+        while log_h > log_min:
+            pairs = current.reshape(-1, 2, 4)  # (h/2, 2, 4) ext pairs
+            flat = pairs.reshape(-1, 8)  # ExtensionMmcs flattening
+            c_root, c_data = self.challenge_mmcs.commit([flat])
+            commit_phase_commits.append(c_root)
+            commit_phase_data.append(c_data)
+            challenger.observe_commitment(c_root)
+            beta = challenger.sample_ext()
+            current = _fold_pairs(pairs, beta, log_h)
+            log_h -= 1
+            if log_h in ro:
+                current = ext4.add(current, ro[log_h])
+
+        # final polynomial: un-bit-reverse, idft, keep final_poly_len coeffs
+        final_evals = reverse_matrix_index_bits(current)
+        final_coeffs = self.dft.idft_batch(final_evals)
+        final_np = bb.np_from_monty(np.asarray(final_coeffs))
+        n_final = 1 << fri.log_final_poly_len
+        final_poly = [tuple(int(c) for c in final_np[i]) for i in range(n_final)]
+        # sanity: high coefficients must vanish (degree bound)
+        assert not final_np[n_final:].any(), "FRI final polynomial degree too high"
+        for coeff in final_poly:
+            challenger.observe_u32s(coeff)
+
+        # 4. Proof of work.
+        pow_witness = challenger.grind(fri.proof_of_work_bits)
+
+        # 5. Queries.
+        query_proofs = []
+        for _ in range(fri.num_queries):
+            index = challenger.sample_bits(log_max)
+            input_openings = []
+            for data, _pts in rounds:
+                r_max = max(int(m.shape[0]) for m in data.merkle.matrices)
+                shift_bits = log_max - log2_strict(r_max)
+                input_openings.append(
+                    self.val_mmcs.open_batch(index >> shift_bits, data.merkle)
+                )
+            cp_openings = []
+            idx = index
+            for c_data in commit_phase_data:
+                cp_openings.append(
+                    CommitPhaseStep(self.challenge_mmcs.open_batch(idx >> 1, c_data))
+                )
+                idx >>= 1
+            query_proofs.append(QueryProof(input_openings, cp_openings))
+
+        return opened_values, FriProof(
+            commit_phase_commits, query_proofs, final_poly, pow_witness,
+            random_commit,
+        )
+
+    # -- verify ------------------------------------------------------------
+    def verify(
+        self,
+        rounds: Sequence[
+            Tuple[Digest, List[Tuple[TwoAdicCoset, List[Tuple[ExtPoint, List[ExtPoint]]]]]]
+        ],
+        proof: FriProof,
+        challenger: Challenger,
+    ) -> bool:
+        """rounds: per commit round, (commitment, [per matrix: (domain,
+        [(zeta, [value per column]), ...])]).  In hiding mode the
+        random-codeword round commitment travels in ``proof.random_commit``."""
+        fri = self.fri
+        rounds = list(rounds)
+        if self.num_random_codewords > 0:
+            if proof.random_commit is None:
+                return False
+            challenger.observe_commitment(proof.random_commit)
+            max_lh = max(
+                d.log_n + fri.log_blowup for _, mats in rounds for d, _ in mats
+            )
+            rand_domain = TwoAdicCoset(max_lh - fri.log_blowup, 1)
+            rounds.append((proof.random_commit, [(rand_domain, [])]))
+
+        # transcript: observe opened values, sample alpha
+        for _c, mats in rounds:
+            for _domain, pts in mats:
+                for _z, vals in pts:
+                    for v in vals:
+                        challenger.observe_u32s(v)
+        alpha = challenger.sample_ext()
+
+        betas = []
+        for c in proof.commit_phase_commits:
+            challenger.observe_commitment(c)
+            betas.append(challenger.sample_ext())
+        for coeff in proof.final_poly:
+            challenger.observe_u32s(coeff)
+        if not challenger.check_witness(fri.proof_of_work_bits, proof.pow_witness):
+            return False
+
+        log_max = max(
+            d.log_n + fri.log_blowup for _c, mats in rounds for d, _ in mats
+        )
+        log_min = fri.log_blowup + fri.log_final_poly_len
+        if len(proof.commit_phase_commits) != log_max - log_min:
+            return False
+        gen_inv = rf.finv(bb.GENERATOR)
+
+        for q_idx in range(fri.num_queries):
+            index = challenger.sample_bits(log_max)
+            if len(proof.query_proofs) <= q_idx:
+                return False
+            qp = proof.query_proofs[q_idx]
+
+            # reduced openings at this index per height
+            ro: Dict[int, ExtPoint] = {}
+            alpha_ctr: Dict[int, int] = {}
+            if len(qp.input_openings) != len(rounds):
+                return False
+            for (commitment, mats), opening in zip(rounds, qp.input_openings):
+                if len(opening.opened_values) != len(mats):
+                    return False
+                dims = []
+                for (domain, _pts), w in zip(
+                    mats, [len(v) for v in opening.opened_values]
+                ):
+                    dims.append((domain.size << fri.log_blowup, w))
+                r_max = max(h for h, _ in dims)
+                reduced_index = index >> (log_max - log2_strict(r_max))
+                if not self.val_mmcs.verify_batch(
+                    commitment, dims, reduced_index, opening
+                ):
+                    return False
+                for (domain, pts), row in zip(mats, opening.opened_values):
+                    log_h = domain.log_n + fri.log_blowup
+                    mat_index = index >> (log_max - log_h)
+                    y = _plain_point_at(log_h, mat_index)
+                    w = len(row)
+                    ro.setdefault(log_h, (0, 0, 0, 0))
+                    alpha_ctr.setdefault(log_h, 0)
+                    if not pts:
+                        # random codeword contribution: sum alpha^k * value
+                        acc = ro[log_h]
+                        k = alpha_ctr[log_h]
+                        for col in range(w):
+                            acc = rf.eadd(
+                                acc,
+                                rf.escale(
+                                    rf.epow(alpha, k + col), int(row[col])
+                                ),
+                            )
+                        ro[log_h] = acc
+                        alpha_ctr[log_h] += w
+                        continue
+                    for zeta, vals in pts:
+                        z_y = rf.escale(zeta, gen_inv)
+                        k = alpha_ctr[log_h]
+                        num = (0, 0, 0, 0)
+                        for col in range(w):
+                            t = rf.esub(rf.efrom_base(int(row[col])), tuple(vals[col]))
+                            num = rf.eadd(num, rf.emul(rf.epow(alpha, k + col), t))
+                        denom_inv = rf.einv(rf.esub(rf.efrom_base(y), z_y))
+                        ro[log_h] = rf.eadd(ro[log_h], rf.emul(num, denom_inv))
+                        alpha_ctr[log_h] += w
+
+            # walk the fold chain
+            value = ro.get(log_max, (0, 0, 0, 0))
+            idx = index
+            log_h = log_max
+            if len(qp.commit_phase_openings) != len(betas):
+                return False
+            for step_i, (step, beta) in enumerate(
+                zip(qp.commit_phase_openings, betas)
+            ):
+                row = step.opening.opened_values[0]  # (8,) flattened pair
+                if len(row) != 8:
+                    return False
+                e = tuple(int(v) for v in row[0:4])
+                o = tuple(int(v) for v in row[4:8])
+                mine = e if idx & 1 == 0 else o
+                if mine != tuple(value):
+                    return False
+                if not self.challenge_mmcs.verify_batch(
+                    proof.commit_phase_commits[step_i],
+                    [(1 << (log_h - 1), 8)],
+                    idx >> 1,
+                    step.opening,
+                ):
+                    return False
+                # fold: value = (e+o)/2 + beta*(e-o)/(2*y_pair)
+                y_pair = _plain_point_at(log_h, idx & ~1)
+                inv2 = rf.finv(2)
+                half_sum = rf.escale(rf.eadd(e, o), inv2)
+                half_diff = rf.escale(rf.esub(e, o), (inv2 * rf.finv(y_pair)) % bb.P)
+                value = rf.eadd(half_sum, rf.emul(beta, half_diff))
+                idx >>= 1
+                log_h -= 1
+                if log_h in ro and log_h >= log_min:
+                    value = rf.eadd(value, ro[log_h])
+
+            # final check: value == final_poly(y_final)
+            y_final = _plain_point_at(log_h, idx)
+            acc = (0, 0, 0, 0)
+            ypow = 1
+            for coeff in proof.final_poly:
+                acc = rf.eadd(acc, rf.escale(tuple(coeff), ypow))
+                ypow = (ypow * y_final) % bb.P
+            if tuple(value) != acc:
+                return False
+        return True
+
+
+# ---------------------------------------------------------------------------
+# module helpers
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _plain_points_br_np(log_h: int) -> np.ndarray:
+    g = bb.two_adic_generator(log_h)
+    pts = bb.np_powers(g, 1 << log_h)
+    return bb.np_to_monty(pts[bit_reversal_perm(log_h)])
+
+
+def _plain_points_br(log_h: int) -> jnp.ndarray:
+    return jnp.asarray(_plain_points_br_np(log_h))
+
+
+def _plain_point_at(log_h: int, index: int) -> int:
+    g = bb.two_adic_generator(log_h)
+    rev = int(bit_reversal_perm(log_h)[index])
+    return pow(g, rev, bb.P)
+
+
+def _alpha_pows_dev(alpha: ExtPoint, offset: int, w: int) -> jnp.ndarray:
+    """(w, 4) device ext array [alpha^offset, ..., alpha^(offset+w-1)]."""
+    rows = []
+    cur = rf.epow(alpha, offset)
+    for _ in range(w):
+        rows.append(cur)
+        cur = rf.emul(cur, alpha)
+    return jnp.asarray(
+        bb.np_to_monty(np.array(rows, dtype=np.uint64).astype(np.uint32))
+    )
+
+
+@jax.jit
+def _combine_columns(mat_br: jnp.ndarray, apows: jnp.ndarray) -> jnp.ndarray:
+    """sum_col alpha^(off+col) * y_col(x): (H, w) x (w, 4) -> (H, 4) ext."""
+    prod = ext4.mul_base(apows[None, :, :], mat_br)  # (H, w, 4)
+    return bb.sum_mod(prod, axis=1)
+
+
+def _fold_pairs(pairs: jnp.ndarray, beta: ExtPoint, log_h: int) -> jnp.ndarray:
+    """One arity-2 FRI fold in bit-reversed plain frame: pairs (H/2, 2, 4);
+    result (H/2, 4) on the squared domain."""
+    e = pairs[:, 0]
+    o = pairs[:, 1]
+    half = (bb.P + 1) // 2
+    y = _plain_points_br(log_h)[0::2]  # point of each pair's even element
+    inv_2y = bb.mul(
+        bb.inv(y), jnp.asarray(np.uint32(bb.host_to_monty(half)))
+    )
+    half_sum = ext4.scale(ext4.add(e, o), bb.monty_scalar(half))
+    half_diff = _ext_scale_rows(ext4.sub(e, o), inv_2y)
+    beta_dev = ext4.scalar(beta)
+    return ext4.add(half_sum, ext4.mul(beta_dev[None, :], half_diff))

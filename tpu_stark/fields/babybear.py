@@ -215,3 +215,19 @@ def powers_monty(base_canonical: int, n: int) -> jnp.ndarray:
     per (base, n) — the analog of the reference's per-log_n twiddle cache,
     backend_vulkan.rs:977-996)."""
     return jnp.asarray(_cached_powers_monty(base_canonical % P, n))
+
+
+def sum_mod(arr, axis: int = 0):
+    """Modular sum along an axis via log-depth pairwise ``add`` folding
+    (uint32 lanes cannot accumulate raw sums without overflow)."""
+    arr = jnp.moveaxis(arr, axis, 0)
+    n = arr.shape[0]
+    while n > 1:
+        if n % 2 == 1:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((1,) + arr.shape[1:], dtype=u32)], axis=0
+            )
+            n += 1
+        arr = add(arr[0::2], arr[1::2])
+        n //= 2
+    return arr[0]

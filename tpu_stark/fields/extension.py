@@ -103,6 +103,20 @@ def inv(a):
     return mul_base(b, bb.inv(norm))
 
 
+def powers_device(z_canonical, n: int) -> jnp.ndarray:
+    """Device array (n, 4) of [1, z, z^2, ...] in Monty form for an ext point
+    given as canonical coefficient tuple — built by doubling (log n vector
+    ext-muls on device; host computes only the log n step constants)."""
+    from . import ref_field as rf
+
+    z = tuple(int(c) % bb.P for c in z_canonical)
+    out = one((1,))
+    while out.shape[0] < n:
+        step = scalar(rf.epow(z, out.shape[0]))
+        out = jnp.concatenate([out, mul(out, step[None, :])], axis=0)
+    return out[:n]
+
+
 def pow_const(a, e: int):
     acc = None
     base = a

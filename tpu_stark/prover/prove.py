@@ -1,0 +1,135 @@
+"""uni-stark prove — the full pipeline of SURVEY.md par3.1.
+
+Transcript (the framework's canonical Fiat-Shamir spec, mirrored by verify.py):
+
+1. observe log_degree (u32)
+2. observe trace commitment; observe public values
+3. alpha  = sample_ext           (constraint folding challenge)
+4. observe quotient-chunks commitment
+5. zeta   = sample_ext           (out-of-domain point); zeta' = g * zeta
+6. pcs.open: [hiding: observe random-codeword commitment], observe opened
+   values, FRI alpha/betas/final-poly/PoW/queries
+
+zk mode (the reference's ``test_zk`` shape, fib_air.rs:27-75): the committed
+trace is the randomized T'(x) = T(x) + Z_H(x)*R(x) with R of degree < n drawn
+from the SmallRng stream — T' agrees with T on H, has degree < 2n, and makes
+the two out-of-domain trace openings perfectly hiding; Merkle leaves are
+salted and 4 random codewords mask the FRI batch (HidingFriPcs semantics).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..air.air import BaseAir, SymbolicAirBuilder
+from ..air.builders import QuotientBuilder
+from ..compat.smallrng import SmallRng
+from ..fields import babybear as bb
+from ..fields import extension as ext4
+from ..matrix import log2_strict
+from .config import StarkConfig
+from .proof import Commitments, OpenedValues, Proof
+
+
+def get_log_quotient_degree(air: BaseAir, num_public_values: int, zk: bool) -> int:
+    """Quotient chunk-count exponent: constraints' max degree in multiples of n
+    (trace vars count 2 multiples when the zk-randomized trace has degree 2n),
+    chunks = next_pow2(max(d, 2) - 1)."""
+    import math
+
+    b = SymbolicAirBuilder(air.width, num_public_values)
+    # re-tag trace vars with the committed degree multiple
+    t = 2 if zk else 1
+    from ..air.values import SymVal
+
+    b._main = [[SymVal(t) for _ in range(air.width)] for _ in range(2)]
+    air.eval(b)
+    d = max(b.max_degree, 2)
+    return max(0, math.ceil(math.log2(d - 1)))
+
+
+def prove(
+    config: StarkConfig,
+    air: BaseAir,
+    trace: np.ndarray,  # (n, width) canonical uint32
+    public_values: Sequence[int],
+) -> Proof:
+    pcs = config.pcs
+    dft = pcs.dft
+    challenger = config.challenger()
+
+    n, width = trace.shape
+    assert width == air.width
+    log_n = log2_strict(n)
+    log_qd = get_log_quotient_degree(air, len(public_values), config.zk)
+    qd = 1 << log_qd
+
+    trace_domain = pcs.natural_domain_for_degree(n)
+    trace_dev = jnp.asarray(bb.np_to_monty(trace.astype(np.uint32)))
+
+    # -- 1. commit (possibly randomized) trace -----------------------------
+    if config.zk:
+        rng = SmallRng.seed_from_u64(config.rng_seed)
+        r = jnp.asarray(rng.sample_babybear_matrix_monty(n, width))
+        coeffs = dft.idft_batch(trace_dev)
+        coeffs2 = jnp.concatenate([bb.sub(coeffs, r), r], axis=0)  # (2n, w)
+        committed_domain = pcs.natural_domain_for_degree(2 * n)
+        committed_evals = dft.dft_batch(coeffs2)
+    else:
+        committed_domain = trace_domain
+        committed_evals = trace_dev
+
+    trace_commit, trace_data = pcs.commit([(committed_domain, committed_evals)])
+
+    challenger.observe_u32(log_n)
+    challenger.observe_commitment(trace_commit)
+    challenger.observe_u32s([int(p) % bb.P for p in public_values])
+    alpha = challenger.sample_ext()
+
+    # -- 2. quotient over the disjoint coset -------------------------------
+    quotient_domain = trace_domain.create_disjoint_domain(n * qd)
+    trace_on_q = pcs.get_evaluations_on_domain(trace_data, 0, quotient_domain)
+    m = quotient_domain.size
+    step = m // n  # g_H step on the quotient domain
+    selectors = trace_domain.selectors_on_coset_device(quotient_domain)
+    builder = QuotientBuilder(
+        main_local=trace_on_q,
+        main_next=jnp.roll(trace_on_q, -step, axis=0),
+        selectors=selectors,
+        public_values=public_values,
+        alpha=alpha,
+    )
+    air.eval(builder)
+    folded = builder.folded_constraints()  # (m, 4) ext
+    quotient_vals = ext4.mul_base(folded, selectors["inv_zeroifier"])
+
+    chunk_domains = quotient_domain.split_domains(qd)
+    chunks = [quotient_vals[i::qd] for i in range(qd)]  # (n, 4) base mats
+    quotient_commit, quotient_data = pcs.commit(list(zip(chunk_domains, chunks)))
+    challenger.observe_commitment(quotient_commit)
+
+    # -- 3. open at zeta ---------------------------------------------------
+    zeta = challenger.sample_ext()
+    zeta_next = trace_domain.next_point_ext(zeta)
+
+    opened, fri_proof = pcs.open(
+        [
+            (trace_data, [[zeta, zeta_next]]),
+            (quotient_data, [[zeta]] * qd),
+        ],
+        challenger,
+    )
+    trace_local = [tuple(v) for v in opened[0][0][0]]
+    trace_next = [tuple(v) for v in opened[0][0][1]]
+    quotient_opened = [[tuple(v) for v in opened[1][i][0]] for i in range(qd)]
+
+    return Proof(
+        commitments=Commitments(trace_commit, quotient_commit),
+        opened_values=OpenedValues(trace_local, trace_next, quotient_opened),
+        opening_proof=fri_proof,
+        degree_bits=log_n,
+        log_quotient_degree=log_qd,
+    )
