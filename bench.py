@@ -1,0 +1,53 @@
+"""Driver benchmark: one JSON line, run on real TPU hardware.
+
+Headline metric: BabyBear batched-NTT kernel throughput at the reference's
+largest benchmark shape, 16384x128 (BASELINE.md: best reference kernel-only
+throughput = 135 Melems/s on the Galaxy A55 Vulkan backend)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_stark_jit_cache")
+
+BASELINE_MELEMS = 135.0  # docs/optimization_attempts.md:167 (16384x128 kernel)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_stark.bench.harness import benchmark_input
+    from tpu_stark.fields import babybear as bb
+    from tpu_stark.ntt import radix2
+
+    h, w = 16384, 128
+    mat = jnp.asarray(bb.np_to_monty(benchmark_input(h, w)))
+    out = radix2.dft_batch(mat)
+    out.block_until_ready()  # warm compile
+
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = radix2.dft_batch(mat)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    melems = h * w / dt / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "babybear_ntt_kernel_16384x128",
+                "value": round(melems, 1),
+                "unit": "Melems/s",
+                "vs_baseline": round(melems / BASELINE_MELEMS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,11 @@ from .values import DevVal, HostExtVal
 
 
 class QuotientBuilder(AirBuilder):
-    """Builder over the quotient evaluation domain (device, base field)."""
+    """Builder over the quotient evaluation domain (device, base field).
+
+    Constraints are collected as base vectors and alpha-folded at the end
+    against a device array of alpha powers — so the whole pass can run inside
+    one traced/jitted program with alpha as data (OPT-0003)."""
 
     def __init__(
         self,
@@ -31,7 +35,6 @@ class QuotientBuilder(AirBuilder):
         main_next: jnp.ndarray,  # (m, w) Monty
         selectors: dict,  # base device vectors over the domain
         public_values: Sequence[int],  # canonical ints
-        alpha: tuple,  # ext point, canonical
     ):
         m, w = main_local.shape
         super().__init__(
@@ -42,20 +45,22 @@ class QuotientBuilder(AirBuilder):
             is_first_row=DevVal(selectors["is_first_row"]),
             is_last_row=DevVal(selectors["is_last_row"]),
             is_transition=DevVal(selectors["is_transition"]),
-            public_values=[DevVal(bb.monty_scalar(int(p))) for p in public_values],
+            public_values=[
+                p if isinstance(p, DevVal) else DevVal(bb.monty_scalar(int(p)))
+                for p in public_values
+            ],
         )
-        self._alpha = alpha
-        self._alpha_pow = (1, 0, 0, 0)
-        self._acc = ext4.zero((m,))
+        self._constraints: List[jnp.ndarray] = []
 
     def _accumulate(self, x) -> None:
-        apow = ext4.scalar(self._alpha_pow)
-        self._acc = ext4.add(self._acc, ext4.mul_base(apow[None, :], x.arr))
-        self._alpha_pow = rf.emul(self._alpha_pow, self._alpha)
+        self._constraints.append(x.arr)
 
-    def folded_constraints(self) -> jnp.ndarray:
-        """sum_i alpha^i * C_i over the domain, ext-valued (m, 4)."""
-        return self._acc
+    def folded_constraints(self, alpha_pows: jnp.ndarray) -> jnp.ndarray:
+        """sum_i alpha^i * C_i over the domain, ext-valued (m, 4);
+        alpha_pows: (num_constraints, 4) Monty device array."""
+        stacked = jnp.stack(self._constraints, axis=0)  # (k, m)
+        prods = ext4.mul_base(alpha_pows[:, None, :], stacked)  # (k, m, 4)
+        return bb.sum_mod(prods, axis=0)
 
 
 class VerifierBuilder(AirBuilder):

@@ -1,0 +1,63 @@
+"""The application API — the reference's JNI surface reborn as Python.
+
+Exactly the four entry points the reference exports across JNI
+(``/root/reference/native/src/lib.rs:37-179``), with the same contracts:
+
+* ``set_backend(name)``          — lib.rs:133-146 / gpu_dft.rs:53-63
+* ``is_tpu_available()``         — the isVulkanAvailable probe, lib.rs:166-179
+* ``run_fib_air_zk()``           — prove+verify round trip; returns
+  ``"fib_air zk ok (n=8, x=21)"`` on success or ``"fib_air zk failed: ..."``
+  (fib_air.rs:27-75, lib.rs:37-85); never raises (panic containment,
+  lib.rs:45-59); appends any stashed backend error (lib.rs:60-63)
+* ``run_dft_benchmark()``        — the 11-case report (fib_air.rs:98-222)
+"""
+
+from __future__ import annotations
+
+import traceback
+
+from ..air.fibonacci import FibonacciAir, fibonacci_value, generate_trace_rows
+from ..backend import registry
+from ..bench.harness import run_dft_benchmark as _bench
+from ..prover.config import create_config
+from ..prover.prove import prove
+from ..prover.verify import verify
+
+
+def set_backend(name: str) -> None:
+    registry.set_backend(name)
+
+
+def is_tpu_available() -> bool:
+    return registry.is_tpu_available()
+
+
+def run_fib_air_zk(n: int = 8) -> str:
+    """Prove + verify the Fibonacci AIR with zk, n rows, pis [0, 1, fib(n)]
+    (defaults reproduce the reference exactly: n=2^3, x=21, fib_air.rs:56-74)."""
+    try:
+        air = FibonacciAir()
+        a, b = 0, 1
+        x = fibonacci_value(a, b, n)
+        trace = generate_trace_rows(a, b, n)
+        pis = [a, b, x]
+        config = create_config(zk=True)
+        proof = prove(config, air, trace, pis)
+        ok = verify(create_config(zk=True), air, proof, pis)
+        if not ok:
+            result = "fib_air zk failed: verification rejected the proof"
+        else:
+            result = f"fib_air zk ok (n={n}, x={x})"
+    except Exception as e:  # noqa: BLE001 — panic containment (lib.rs:45-59)
+        result = f"fib_air zk panicked: {e}\n{traceback.format_exc(limit=3)}"
+    err = registry.take_last_error()
+    if err:
+        result += f"\nbackend error: {err}"  # lib.rs:60-63
+    return result
+
+
+def run_dft_benchmark() -> str:
+    try:
+        return _bench()
+    except Exception as e:  # noqa: BLE001
+        return f"dft benchmark failed: {e}"

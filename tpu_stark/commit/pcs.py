@@ -251,15 +251,10 @@ class TwoAdicFriPcs:
                     z_y = rf.escale(zeta, gen_inv)
                     off = alpha_counter[log_h]
                     apows = _alpha_pows_dev(alpha, off, w)
-                    a_x = _combine_columns(mat_br, apows)  # (h, 4)
                     p_z = jnp.asarray(r_opened[m_idx][p_idx])  # (w, 4) monty
-                    b = bb.sum_mod(ext4.mul(apows, p_z), axis=0)  # (4,)
-                    z_dev = ext4.scalar(z_y)
-                    diff = ext4.sub(a_x, b[None, :])
-                    y_minus_z = ext4.sub(
-                        ext4.from_base(y_br), z_dev[None, :]
+                    contrib = _reduced_quotient(
+                        mat_br, apows, p_z, ext4.scalar(z_y), y_br
                     )
-                    contrib = ext4.mul(diff, ext4.inv(y_minus_z))
                     ro[log_h] = ext4.add(ro[log_h], contrib)
                     alpha_counter[log_h] += w
 
@@ -278,7 +273,7 @@ class TwoAdicFriPcs:
             commit_phase_data.append(c_data)
             challenger.observe_commitment(c_root)
             beta = challenger.sample_ext()
-            current = _fold_pairs(pairs, beta, log_h)
+            current = _fold_pairs(pairs, ext4.scalar(beta), log_h)
             log_h -= 1
             if log_h in ro:
                 current = ext4.add(current, ro[log_h])
@@ -514,7 +509,19 @@ def _combine_columns(mat_br: jnp.ndarray, apows: jnp.ndarray) -> jnp.ndarray:
     return bb.sum_mod(prod, axis=1)
 
 
-def _fold_pairs(pairs: jnp.ndarray, beta: ExtPoint, log_h: int) -> jnp.ndarray:
+@jax.jit
+def _reduced_quotient(mat_br, apows, p_z, z_dev, y_br):
+    """One matrix/point contribution to the reduced opening, fully fused:
+    (sum_col alpha^k (y_col(x) - y_col(z))) * inv(y - z) over the codeword."""
+    a_x = _combine_columns(mat_br, apows)  # (H, 4)
+    b = bb.sum_mod(ext4.mul(apows, p_z), axis=0)  # (4,)
+    diff = ext4.sub(a_x, b[None, :])
+    y_minus_z = ext4.sub(ext4.from_base(y_br), z_dev[None, :])
+    return ext4.mul(diff, ext4.inv(y_minus_z))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _fold_pairs(pairs: jnp.ndarray, beta_dev: jnp.ndarray, log_h: int) -> jnp.ndarray:
     """One arity-2 FRI fold in bit-reversed plain frame: pairs (H/2, 2, 4);
     result (H/2, 4) on the squared domain."""
     e = pairs[:, 0]
@@ -526,5 +533,4 @@ def _fold_pairs(pairs: jnp.ndarray, beta: ExtPoint, log_h: int) -> jnp.ndarray:
     )
     half_sum = ext4.scale(ext4.add(e, o), bb.monty_scalar(half))
     half_diff = _ext_scale_rows(ext4.sub(e, o), inv_2y)
-    beta_dev = ext4.scalar(beta)
     return ext4.add(half_sum, ext4.mul(beta_dev[None, :], half_diff))

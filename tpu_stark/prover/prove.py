@@ -19,19 +19,59 @@ salted and 4 random codewords mask the FRI batch (HidingFriPcs semantics).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..air.air import BaseAir, SymbolicAirBuilder
+from ..air.air import BaseAir, SymbolicAirBuilder, get_symbolic_info
 from ..air.builders import QuotientBuilder
+from ..air.values import DevVal
 from ..compat.smallrng import SmallRng
 from ..fields import babybear as bb
 from ..fields import extension as ext4
+from ..fields import ref_field as rf
+from ..fri.domains import TwoAdicCoset
 from ..matrix import log2_strict
 from .config import StarkConfig
 from .proof import Commitments, OpenedValues, Proof
+
+
+@functools.lru_cache(maxsize=None)
+def _quotient_fn(air_key, log_n: int, log_m: int, num_pis: int):
+    """One jitted program for the whole quotient pass (OPT-0003): selectors,
+    vectorized constraint eval, alpha folding, zeroifier division — keyed on
+    (air, trace size, quotient-domain size, #public values)."""
+    air = _AIR_REGISTRY[air_key]
+    trace_domain = TwoAdicCoset(log_n, 1)
+    quotient_domain = trace_domain.create_disjoint_domain(1 << log_m)
+    step = (1 << log_m) >> log_n
+
+    @jax.jit
+    def qfn(trace_on_q, pis_monty, alpha_pows):
+        selectors = trace_domain.selectors_on_coset_device(quotient_domain)
+        builder = QuotientBuilder(
+            main_local=trace_on_q,
+            main_next=jnp.roll(trace_on_q, -step, axis=0),
+            selectors=selectors,
+            public_values=[DevVal(pis_monty[i]) for i in range(num_pis)],
+        )
+        air.eval(builder)
+        folded = builder.folded_constraints(alpha_pows)
+        return ext4.mul_base(folded, selectors["inv_zeroifier"])
+
+    return qfn
+
+
+_AIR_REGISTRY: dict = {}
+
+
+def _register_air(air: BaseAir):
+    key = (type(air).__module__, type(air).__qualname__, air.width)
+    _AIR_REGISTRY[key] = air
+    return key
 
 
 def get_log_quotient_degree(air: BaseAir, num_public_values: int, zk: bool) -> int:
@@ -89,22 +129,25 @@ def prove(
     challenger.observe_u32s([int(p) % bb.P for p in public_values])
     alpha = challenger.sample_ext()
 
-    # -- 2. quotient over the disjoint coset -------------------------------
+    # -- 2. quotient over the disjoint coset (one jitted program) ----------
     quotient_domain = trace_domain.create_disjoint_domain(n * qd)
     trace_on_q = pcs.get_evaluations_on_domain(trace_data, 0, quotient_domain)
-    m = quotient_domain.size
-    step = m // n  # g_H step on the quotient domain
-    selectors = trace_domain.selectors_on_coset_device(quotient_domain)
-    builder = QuotientBuilder(
-        main_local=trace_on_q,
-        main_next=jnp.roll(trace_on_q, -step, axis=0),
-        selectors=selectors,
-        public_values=public_values,
-        alpha=alpha,
+    num_constraints, _ = get_symbolic_info(air, len(public_values))
+    apows = [(1, 0, 0, 0)]
+    for _ in range(num_constraints - 1):
+        apows.append(rf.emul(apows[-1], alpha))
+    alpha_pows_dev = jnp.asarray(
+        bb.np_to_monty(np.array(apows, dtype=np.uint64).astype(np.uint32))
     )
-    air.eval(builder)
-    folded = builder.folded_constraints()  # (m, 4) ext
-    quotient_vals = ext4.mul_base(folded, selectors["inv_zeroifier"])
+    pis_dev = jnp.asarray(
+        bb.np_to_monty(
+            np.array([int(p) % bb.P for p in public_values], dtype=np.uint32)
+        )
+    )
+    qfn = _quotient_fn(
+        _register_air(air), log_n, log_n + log_qd, len(public_values)
+    )
+    quotient_vals = qfn(trace_on_q, pis_dev, alpha_pows_dev)
 
     chunk_domains = quotient_domain.split_domains(qd)
     chunks = [quotient_vals[i::qd] for i in range(qd)]  # (n, 4) base mats
