@@ -1,0 +1,44 @@
+"""Pallas fused-stage NTT kernel: interpreter-mode differential tests vs the
+XLA path (SURVEY.md par5.2: interpreter-mode kernel tests in place of the
+reference's debug-build CPU cross-check)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_stark.fields import babybear as bb
+from tpu_stark.matrix import reverse_matrix_index_bits
+from tpu_stark.ntt import pallas_ntt, radix2
+
+RNG = np.random.default_rng(21)
+
+
+def test_forward_matches_xla_path():
+    for h, w in [(1024, 128), (4096, 256), (16384, 128)]:
+        mat = (RNG.integers(0, bb.P, size=(h, w))).astype(np.uint32)
+        dev = jnp.asarray(bb.np_to_monty(mat))
+        want = np.asarray(radix2.dft_batch(dev))
+        got = np.asarray(
+            pallas_ntt.ntt_from_bitrev(
+                reverse_matrix_index_bits(dev), interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"{h}x{w}")
+
+
+def test_inverse_roundtrip():
+    h, w = 2048, 128
+    mat = (RNG.integers(0, bb.P, size=(h, w))).astype(np.uint32)
+    dev = jnp.asarray(bb.np_to_monty(mat))
+    fwd = pallas_ntt.ntt_from_bitrev(reverse_matrix_index_bits(dev), interpret=True)
+    inv = pallas_ntt.ntt_from_bitrev(
+        reverse_matrix_index_bits(fwd), inverse=True, interpret=True
+    )
+    h_inv = bb.monty_scalar(pow(h, bb.P - 2, bb.P))
+    back = np.asarray(bb.to_u32(bb.mul(inv, h_inv)))
+    np.testing.assert_array_equal(back, mat)
+
+
+def test_supports_policy():
+    assert pallas_ntt.supports(16384, 128)
+    assert not pallas_ntt.supports(256, 128)  # too short
+    assert not pallas_ntt.supports(16384, 8)  # lane-unaligned width
