@@ -21,6 +21,9 @@ def main(argv=None) -> int:
     parser.add_argument("--backend", default="tpu", help="tpu|cpu|interpret")
     parser.add_argument("--n", type=int, default=8, help="fib trace length")
     parser.add_argument(
+        "--hash", default="keccak", help="commitment stack: keccak|poseidon2"
+    )
+    parser.add_argument(
         "workloads", nargs="*", default=[], help="any of: fib bench (default both)"
     )
     args = parser.parse_args(argv)
@@ -35,7 +38,7 @@ def main(argv=None) -> int:
     out = [f"tpu available: {api.is_tpu_available()}"]  # MainActivity.kt:31
     workloads = args.workloads or ["fib", "bench"]
     if "fib" in workloads:
-        out.append(api.run_fib_air_zk(args.n))  # MainActivity.kt:33
+        out.append(api.run_fib_air_zk(args.n, hash=args.hash))  # MainActivity.kt:33
     if "bench" in workloads:
         out.append(api.run_dft_benchmark())  # MainActivity.kt:35
     print("\n\n".join(out))

@@ -32,18 +32,19 @@ def is_tpu_available() -> bool:
     return registry.is_tpu_available()
 
 
-def run_fib_air_zk(n: int = 8) -> str:
+def run_fib_air_zk(n: int = 8, hash: str = "keccak") -> str:
     """Prove + verify the Fibonacci AIR with zk, n rows, pis [0, 1, fib(n)]
-    (defaults reproduce the reference exactly: n=2^3, x=21, fib_air.rs:56-74)."""
+    (defaults reproduce the reference exactly: n=2^3, x=21, Keccak stack,
+    fib_air.rs:56-74; ``hash="poseidon2"`` uses the field-native stack)."""
     try:
         air = FibonacciAir()
         a, b = 0, 1
         x = fibonacci_value(a, b, n)
         trace = generate_trace_rows(a, b, n)
         pis = [a, b, x]
-        config = create_config(zk=True)
+        config = create_config(zk=True, hash=hash)
         proof = prove(config, air, trace, pis)
-        ok = verify(create_config(zk=True), air, proof, pis)
+        ok = verify(create_config(zk=True, hash=hash), air, proof, pis)
         if not ok:
             result = "fib_air zk failed: verification rejected the proof"
         else:

@@ -1,0 +1,278 @@
+"""Poseidon2 Merkle MMCS + duplex challenger — the field-native commitment
+stack (BASELINE configs: "Poseidon2 commit").
+
+Mirrors the p3 BabyBear Poseidon2 stack shape:
+
+* leaf hash    = PaddingFreeSponge<Poseidon2_16, WIDTH=16, RATE=8, OUT=8>
+  (overwrite-absorb in rate-8 chunks of field elems, permute per chunk,
+  squeeze the first 8 lanes);
+* compression  = TruncatedPermutation<Poseidon2_16, 2, 8, 16>:
+  compress(l, r) = perm(l || r)[:8];
+* digests      = 8 BabyBear elements (Monty on device, canonical on host);
+* challenger   = DuplexChallenger<Poseidon2_16, WIDTH=16, RATE=8>: observe
+  buffers up to RATE elems then overwrite-duplexes; samples pop from the end
+  of the squeezed rate window.
+
+Unlike the byte-oriented Keccak stack (fib_air parity path), everything here
+stays in the field — no serialization, and the whole tree is field arithmetic
+on the VPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compat.smallrng import SmallRng
+from ..fields import babybear as bb
+from ..hash import poseidon2
+from ..matrix import log2_strict
+
+WIDTH = 16
+RATE = 8
+OUT = 8
+
+FieldDigest = Tuple[int, ...]  # 8 canonical ints
+
+
+# ---------------------------------------------------------------------------
+# Host primitives (per-query verification)
+# ---------------------------------------------------------------------------
+def hash_row_host(values: Sequence[int]) -> FieldDigest:
+    state = [0] * WIDTH
+    vals = [int(v) % bb.P for v in values]
+    if not vals:
+        return tuple(state[:OUT])
+    for off in range(0, len(vals), RATE):
+        chunk = vals[off : off + RATE]
+        for i, v in enumerate(chunk):
+            state[i] = v
+        state = poseidon2.permute_host(state)
+    return tuple(state[:OUT])
+
+
+def compress_host(left: Sequence[int], right: Sequence[int]) -> FieldDigest:
+    state = [int(v) % bb.P for v in list(left) + list(right)]
+    assert len(state) == WIDTH
+    return tuple(poseidon2.permute_host(state)[:OUT])
+
+
+# ---------------------------------------------------------------------------
+# Batched device primitives
+# ---------------------------------------------------------------------------
+def hash_rows_batched(mat_monty: jnp.ndarray) -> jnp.ndarray:
+    """(N, k) Monty -> (N, 8) Monty digests."""
+    n, k = mat_monty.shape
+    state = jnp.zeros((n, WIDTH), dtype=bb.u32)
+    for off in range(0, k, RATE):
+        chunk = mat_monty[:, off : off + RATE]
+        state = state.at[:, : chunk.shape[1]].set(chunk)
+        state = poseidon2.permute_batched(state)
+    return state[:, :OUT]
+
+
+def compress_batched(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) x (N, 8) -> (N, 8)."""
+    state = jnp.concatenate([left, right], axis=1)
+    return poseidon2.permute_batched(state)[:, :OUT]
+
+
+# ---------------------------------------------------------------------------
+# MMCS (same tree structure/injection rules as the Keccak MMCS)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class ProverData:
+    matrices: List[jnp.ndarray]
+    salts: Optional[List[jnp.ndarray]]
+    layers: List[np.ndarray]  # (N_l, 8) canonical uint32, leaves first
+    root: FieldDigest
+
+
+@dataclasses.dataclass
+class BatchOpening:
+    opened_values: List[np.ndarray]
+    opened_salts: Optional[List[np.ndarray]]
+    proof: List[FieldDigest]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fn(shapes: Tuple[Tuple[int, int], ...]):
+    heights = sorted({h for h, _ in shapes}, reverse=True)
+    max_h = heights[0]
+
+    @jax.jit
+    def build(*dev_mats):
+        groups: dict = {h: [] for h in heights}
+        for (h, _w), m in zip(shapes, dev_mats):
+            groups[h].append(m)
+        digests = hash_rows_batched(jnp.concatenate(groups[max_h], axis=1))
+        layers = [digests]
+        h = max_h
+        while h > 1:
+            h >>= 1
+            d = compress_batched(digests[0::2], digests[1::2])
+            if h in groups:
+                inj = hash_rows_batched(jnp.concatenate(groups[h], axis=1))
+                d = compress_batched(d, inj)
+            digests = d
+            layers.append(d)
+        return layers
+
+    return build
+
+
+class Poseidon2Mmcs:
+    """Field-native Merkle MMCS (p3 MerkleTreeMmcs over Poseidon2); hiding
+    variant salts rows from a persistent SmallRng like the Keccak MMCS."""
+
+    SALT_ELEMS = 4
+
+    def __init__(self, hiding: bool = False, rng: Optional[SmallRng] = None,
+                 rng_seed: int = 1):
+        self.hiding = hiding
+        self._rng = rng if rng is not None else SmallRng.seed_from_u64(rng_seed)
+
+    def commit(self, matrices: Sequence[jnp.ndarray]):
+        matrices = list(matrices)
+        assert matrices
+        for m in matrices:
+            log2_strict(int(m.shape[0]))
+        salts = None
+        if self.hiding:
+            salts = [
+                jnp.asarray(
+                    self._rng.sample_babybear_matrix_monty(
+                        int(m.shape[0]), self.SALT_ELEMS
+                    )
+                )
+                for m in matrices
+            ]
+        flat, shapes = [], []
+        for h in sorted({int(m.shape[0]) for m in matrices}, reverse=True):
+            for k, m in enumerate(matrices):
+                if int(m.shape[0]) == h:
+                    flat.append(m)
+                    shapes.append((h, int(m.shape[1])))
+                    if salts is not None:
+                        flat.append(salts[k])
+                        shapes.append((h, self.SALT_ELEMS))
+        layers = _build_fn(tuple(shapes))(*flat)
+        layers_np = [bb.np_from_monty(np.asarray(l)) for l in layers]
+        root = tuple(int(v) for v in layers_np[-1][0])
+        return root, ProverData(matrices, salts, layers_np, root)
+
+    def open_batch(self, index: int, data: ProverData) -> BatchOpening:
+        max_h = max(int(m.shape[0]) for m in data.matrices)
+        log_max = log2_strict(max_h)
+        opened, opened_salts = [], [] if data.salts is not None else None
+        for k, m in enumerate(data.matrices):
+            h = int(m.shape[0])
+            ri = index >> (log_max - log2_strict(h))
+            opened.append(np.array(bb.to_u32(m[ri])))
+            if opened_salts is not None:
+                opened_salts.append(np.array(bb.to_u32(data.salts[k][ri])))
+        proof = []
+        idx = index
+        for l in range(log_max):
+            proof.append(tuple(int(v) for v in data.layers[l][idx ^ 1]))
+            idx >>= 1
+        return BatchOpening(opened, opened_salts, proof)
+
+    def verify_batch(
+        self,
+        commitment: FieldDigest,
+        dimensions: Sequence[Tuple[int, int]],
+        index: int,
+        opening: BatchOpening,
+    ) -> bool:
+        heights = [h for h, _ in dimensions]
+        max_h = max(heights)
+        log_max = log2_strict(max_h)
+        if len(opening.proof) != log_max:
+            return False
+
+        def rows_at(height: int) -> List[int]:
+            vals: List[int] = []
+            for k, (h, _w) in enumerate(dimensions):
+                if h == height:
+                    vals.extend(int(v) for v in opening.opened_values[k])
+                    if opening.opened_salts is not None:
+                        vals.extend(int(v) for v in opening.opened_salts[k])
+            return vals
+
+        node = hash_row_host(rows_at(max_h))
+        idx = index
+        h = max_h
+        for sib in opening.proof:
+            node = compress_host(node, sib) if idx & 1 == 0 else compress_host(sib, node)
+            idx >>= 1
+            h >>= 1
+            inj = rows_at(h)
+            if inj:
+                node = compress_host(node, hash_row_host(inj))
+        return tuple(node) == tuple(commitment)
+
+
+# ---------------------------------------------------------------------------
+# Duplex challenger (p3 DuplexChallenger shape)
+# ---------------------------------------------------------------------------
+class DuplexChallenger:
+    def __init__(self):
+        self.state = [0] * WIDTH
+        self.input_buffer: List[int] = []
+        self.output_buffer: List[int] = []
+
+    def _duplex(self) -> None:
+        for i, v in enumerate(self.input_buffer):
+            self.state[i] = v
+        self.input_buffer.clear()
+        self.state = poseidon2.permute_host(self.state)
+        self.output_buffer = list(self.state[:RATE])
+
+    def observe_u32(self, value: int) -> None:
+        self.output_buffer.clear()
+        self.input_buffer.append(int(value) % bb.P)
+        if len(self.input_buffer) == RATE:
+            self._duplex()
+
+    def observe_u32s(self, values: Sequence[int]) -> None:
+        for v in values:
+            self.observe_u32(v)
+
+    def observe_commitment(self, digest: Sequence[int]) -> None:
+        self.observe_u32s(list(digest))
+
+    def sample_u32(self) -> int:
+        if self.input_buffer or not self.output_buffer:
+            self._duplex()
+        return self.output_buffer.pop()
+
+    def sample_ext(self) -> Tuple[int, int, int, int]:
+        return tuple(self.sample_u32() for _ in range(4))  # type: ignore[return-value]
+
+    def sample_bits(self, bits: int) -> int:
+        return self.sample_u32() & ((1 << bits) - 1)
+
+    def clone(self) -> "DuplexChallenger":
+        c = DuplexChallenger()
+        c.state = list(self.state)
+        c.input_buffer = list(self.input_buffer)
+        c.output_buffer = list(self.output_buffer)
+        return c
+
+    def check_witness(self, bits: int, witness: int) -> bool:
+        self.observe_u32(witness)
+        return self.sample_bits(bits) == 0
+
+    def grind(self, bits: int) -> int:
+        for w in range(bb.P):
+            if self.clone().check_witness(bits, w):
+                self.observe_u32(w)
+                assert self.sample_bits(bits) == 0
+                return w
+        raise RuntimeError("grinding failed (unreachable)")

@@ -24,11 +24,12 @@ class StarkConfig:
     pcs: TwoAdicFriPcs
     zk: bool = False
     rng_seed: int = 1  # trace-randomizer stream (zk)
+    challenger_factory: type = Challenger
 
-    def challenger(self) -> Challenger:
+    def challenger(self):
         """Fresh Fiat-Shamir transcript (Challenger::from_hasher(vec![], keccak),
-        fib_air.rs:66)."""
-        return Challenger()
+        fib_air.rs:66; or a Poseidon2 duplex challenger)."""
+        return self.challenger_factory()
 
 
 def create_config(
@@ -36,21 +37,39 @@ def create_config(
     zk: bool = True,
     backend: Optional[str] = None,
     rng_seed: int = 1,
+    hash: str = "keccak",
 ) -> StarkConfig:
-    """The reference's zk config: hiding Merkle commitments (SmallRng(1) salts),
-    HidingFriPcs with 4 random codewords, test FRI params w/ log_blowup=2
-    (fib_air.rs:40-65)."""
+    """Assemble a full config.
+
+    ``hash="keccak"`` reproduces the reference's zk stack: hiding Keccak
+    Merkle commitments (SmallRng(1) salts), HidingFriPcs with 4 random
+    codewords, byte-level Fiat-Shamir (fib_air.rs:40-66).
+    ``hash="poseidon2"`` is the field-native production stack (BASELINE
+    configs): Poseidon2 MMCS + duplex challenger — no serialization anywhere.
+    """
     fri = fri_params if fri_params is not None else create_test_fri_params(2)
     dft = Dft(backend=backend)
+    if hash == "keccak":
+        mmcs_cls = MerkleTreeMmcs
+        challenger_factory = Challenger
+    elif hash == "poseidon2":
+        from ..commit.poseidon2_mmcs import DuplexChallenger, Poseidon2Mmcs
+
+        mmcs_cls = Poseidon2Mmcs
+        challenger_factory = DuplexChallenger
+    else:
+        raise ValueError(f"unknown hash stack {hash!r}")
     if zk:
         pcs = TwoAdicFriPcs(
             dft,
             fri,
-            val_mmcs=MerkleTreeMmcs(hiding=True, rng=SmallRng.seed_from_u64(rng_seed)),
-            challenge_mmcs=MerkleTreeMmcs(),
+            val_mmcs=mmcs_cls(hiding=True, rng=SmallRng.seed_from_u64(rng_seed)),
+            challenge_mmcs=mmcs_cls(),
             num_random_codewords=4,
             rng=SmallRng.seed_from_u64(rng_seed),
         )
     else:
-        pcs = TwoAdicFriPcs(dft, fri)
-    return StarkConfig(pcs=pcs, zk=zk, rng_seed=rng_seed)
+        pcs = TwoAdicFriPcs(dft, fri, val_mmcs=mmcs_cls(), challenge_mmcs=mmcs_cls())
+    return StarkConfig(
+        pcs=pcs, zk=zk, rng_seed=rng_seed, challenger_factory=challenger_factory
+    )

@@ -54,6 +54,8 @@ def _w_u64(b, v):
 
 
 def _w_digest(b, d: Digest):
+    # length-prefixed: supports 4xu64 Keccak digests and 8-field Poseidon2
+    _w_u32(b, len(d))
     for w in d:
         _w_u64(b, w)
 
@@ -131,7 +133,8 @@ class _Reader:
         return struct.unpack("<Q", self.b.read(8))[0]
 
     def digest(self) -> Digest:
-        return tuple(self.u64() for _ in range(4))  # type: ignore[return-value]
+        n = self.u32()
+        return tuple(self.u64() for _ in range(n))  # type: ignore[return-value]
 
     def ext(self) -> ExtVal:
         return tuple(self.u32() for _ in range(4))  # type: ignore[return-value]
