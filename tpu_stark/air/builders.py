@@ -55,12 +55,22 @@ class QuotientBuilder(AirBuilder):
     def _accumulate(self, x) -> None:
         self._constraints.append(x.arr)
 
+    FOLD_CHUNK = 64  # constraints combined per step (bounds peak memory for
+    # very wide AIRs like keccak-air: k x m x 4 would not fit otherwise)
+
     def folded_constraints(self, alpha_pows: jnp.ndarray) -> jnp.ndarray:
         """sum_i alpha^i * C_i over the domain, ext-valued (m, 4);
         alpha_pows: (num_constraints, 4) Monty device array."""
-        stacked = jnp.stack(self._constraints, axis=0)  # (k, m)
-        prods = ext4.mul_base(alpha_pows[:, None, :], stacked)  # (k, m, 4)
-        return bb.sum_mod(prods, axis=0)
+        m = self._constraints[0].shape[0]
+        acc = ext4.zero((m,))
+        for off in range(0, len(self._constraints), self.FOLD_CHUNK):
+            chunk = self._constraints[off : off + self.FOLD_CHUNK]
+            stacked = jnp.stack(chunk, axis=0)  # (c, m)
+            prods = ext4.mul_base(
+                alpha_pows[off : off + len(chunk), None, :], stacked
+            )
+            acc = ext4.add(acc, bb.sum_mod(prods, axis=0))
+        return acc
 
 
 class VerifierBuilder(AirBuilder):

@@ -1,0 +1,82 @@
+"""ctypes bridge to the native runtime helpers (``native/tpu_stark_native.c``).
+
+Builds the shared library on first use (gcc, no deps) and caches it under the
+repo; every consumer falls back to the pure-python implementation when the
+toolchain or library is unavailable — the backend-fallback discipline of the
+reference applied to the host runtime (gpu_dft.rs:94-115)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "tpu_stark_native.c")
+_SO = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libtpu_stark_native.so")
+
+
+def _build() -> bool:
+    src = os.path.abspath(_SRC)
+    so = os.path.abspath(_SO)
+    if not os.path.exists(src):
+        return False
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return True
+    try:
+        subprocess.run(
+            ["cc", "-O3", "-shared", "-fPIC", "-o", so, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:  # noqa: BLE001 — fall back to python
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(os.path.abspath(_SO))
+            lib.ts_xoshiro_seed.argtypes = [
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
+            lib.ts_xoshiro_fill_babybear.argtypes = [
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_size_t,
+            ]
+            lib.ts_xoshiro_next_u64.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+            lib.ts_xoshiro_next_u64.restype = ctypes.c_uint64
+            lib.ts_keccak256.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.ts_keccakf.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+            _lib = lib
+        except Exception:  # noqa: BLE001
+            _lib = None
+        return _lib
+
+
+def keccak256_native(data: bytes) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint8 * 32)()
+    lib.ts_keccak256(data, len(data), out)
+    return bytes(out)

@@ -71,8 +71,30 @@ class SmallRng:
                 return v
 
     def sample_babybear_matrix_monty(self, rows: int, cols: int) -> np.ndarray:
-        """Row-major (rows, cols) Monty-form uint32 salt/codeword matrix."""
-        out = np.empty(rows * cols, dtype=np.uint32)
-        for i in range(rows * cols):
-            out[i] = self.sample_babybear_monty()
+        """Row-major (rows, cols) Monty-form uint32 salt/codeword matrix.
+
+        Uses the native C sampler when available (bit-identical stream; the
+        python loop is the fallback and the differential oracle)."""
+        n = rows * cols
+        out = self._native_fill(n)
+        if out is None:
+            out = np.empty(n, dtype=np.uint32)
+            for i in range(n):
+                out[i] = self.sample_babybear_monty()
         return out.reshape(rows, cols)
+
+    def _native_fill(self, n: int):
+        import ctypes
+
+        from . import native
+
+        lib = native.get_lib()
+        if lib is None:
+            return None
+        state = (ctypes.c_uint64 * 4)(*self.s)
+        out = np.empty(n, dtype=np.uint32)
+        lib.ts_xoshiro_fill_babybear(
+            state, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n
+        )
+        self.s = [int(state[i]) for i in range(4)]
+        return out

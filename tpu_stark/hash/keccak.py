@@ -83,7 +83,19 @@ def keccak_f(state: Sequence[int]) -> List[int]:
 
 def keccak256(data: bytes) -> bytes:
     """Keccak-256 (original 0x01 padding), rate 136 bytes, 32-byte digest —
-    the ``Keccak256Hash`` of the challenger stack (fib_air.rs:28)."""
+    the ``Keccak256Hash`` of the challenger stack (fib_air.rs:28).
+
+    Dispatches to the native C implementation when available (bit-identical;
+    the python path below is the oracle and fallback)."""
+    from ..compat.native import keccak256_native
+
+    native = keccak256_native(data)
+    if native is not None:
+        return native
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     rate = 136
     state = [0] * 25
     # pad10*1 with 0x01 domain byte
