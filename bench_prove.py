@@ -1,0 +1,68 @@
+"""Prover-scale benchmark: fib_air prove wall-clock (BASELINE.json north-star
+metric: "fib_air prove wall-clock at 2^20 trace").
+
+Not the driver entry point (bench.py) — run manually:
+    python bench_prove.py [log_n] [keccak|poseidon2] [zk|plain]
+Prints phase timings + one summary JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_stark_jit_cache")
+
+
+def main() -> None:
+    log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    hash_stack = sys.argv[2] if len(sys.argv) > 2 else "keccak"
+    zk = (sys.argv[3] if len(sys.argv) > 3 else "zk") == "zk"
+
+    from tpu_stark.air.fibonacci import FibonacciAir, fibonacci_value, generate_trace_rows
+    from tpu_stark.prover.config import create_config
+    from tpu_stark.prover.prove import prove
+    from tpu_stark.prover.verify import verify
+
+    n = 1 << log_n
+    t0 = time.time()
+    trace = generate_trace_rows(0, 1, n)
+    x = int(trace[-1, 1])
+    pis = [0, 1, x]
+    t_tracegen = time.time() - t0
+
+    air = FibonacciAir()
+    # warm run (compiles), then timed run
+    t0 = time.time()
+    proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
+    t_first = time.time() - t0
+    t0 = time.time()
+    proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
+    t_prove = time.time() - t0
+    t0 = time.time()
+    ok = verify(create_config(zk=zk, hash=hash_stack), air, proof, pis)
+    t_verify = time.time() - t0
+    assert ok, "verification failed"
+
+    from tpu_stark.prover.proof import serialize_proof
+
+    blob = serialize_proof(proof)
+    print(
+        json.dumps(
+            {
+                "metric": f"fib_air_{'zk' if zk else 'plain'}_prove_2^{log_n}_{hash_stack}",
+                "value": round(t_prove, 3),
+                "unit": "s",
+                "tracegen_s": round(t_tracegen, 3),
+                "first_run_s": round(t_first, 3),
+                "verify_s": round(t_verify, 3),
+                "proof_bytes": len(blob),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_stark_test_jit_cache")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+# cache even small/fast-compiling programs (the suite re-runs many)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

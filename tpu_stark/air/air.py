@@ -96,9 +96,15 @@ class AirBuilder:
     def when_transition(self) -> _Filtered:
         return _Filtered(self, self._is_transition)
 
+    # -- vector access (wide AIRs assert whole column groups at once) ------
+    def main_cols(self, offset: int, indices) -> object:
+        """A vector value over the given column indices of row ``offset``
+        (one assert on it contributes len(indices) constraints, column order)."""
+        raise NotImplementedError
+
     # -- constraints -------------------------------------------------------
     def assert_zero(self, x) -> None:
-        self.constraint_count += 1
+        self.constraint_count += getattr(x, "count", 1)
         self._accumulate(x)
 
     def assert_eq(self, a, b) -> None:
@@ -111,8 +117,13 @@ class AirBuilder:
 class SymbolicAirBuilder(AirBuilder):
     """Degree-tracking pass (p3 get_log_quotient_degree / get_symbolic_constraints)."""
 
-    def __init__(self, width: int, num_public_values: int):
-        main = [[SymVal(1) for _ in range(width)] for _ in range(2)]
+    def __init__(self, width: int, num_public_values: int,
+                 trace_degree_multiple: int = 1):
+        self._t = trace_degree_multiple
+        main = [
+            [SymVal(trace_degree_multiple) for _ in range(width)]
+            for _ in range(2)
+        ]
         super().__init__(
             main_rows=main,
             is_first_row=SymVal(1),   # Z_H/(x-1): degree n-1 -> 1 multiple
@@ -121,6 +132,9 @@ class SymbolicAirBuilder(AirBuilder):
             public_values=[SymVal(0)] * num_public_values,
         )
         self.max_degree = 0
+
+    def main_cols(self, offset: int, indices):
+        return SymVal(self._t, len(indices))
 
     def _accumulate(self, x) -> None:
         deg = x.degree if isinstance(x, SymVal) else 0

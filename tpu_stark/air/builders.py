@@ -37,6 +37,7 @@ class QuotientBuilder(AirBuilder):
         public_values: Sequence[int],  # canonical ints
     ):
         m, w = main_local.shape
+        self._mats = [main_local, main_next]
         super().__init__(
             main_rows=[
                 [DevVal(main_local[:, c]) for c in range(w)],
@@ -52,24 +53,57 @@ class QuotientBuilder(AirBuilder):
         )
         self._constraints: List[jnp.ndarray] = []
 
-    def _accumulate(self, x) -> None:
-        self._constraints.append(x.arr)
+    def main_cols(self, offset: int, indices):
+        import numpy as np
 
-    FOLD_CHUNK = 64  # constraints combined per step (bounds peak memory for
-    # very wide AIRs like keccak-air: k x m x 4 would not fit otherwise)
+        return DevVal(self._mats[offset][:, jnp.asarray(np.asarray(indices))])
+
+    def _accumulate(self, x) -> None:
+        arr = x.arr
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        self._constraints.append(arr)  # (m, k)
+
+    FOLD_CHUNK = 64  # constraint columns combined per step (bounds peak
+    # memory for very wide AIRs like keccak-air: K x m x 4 would not fit)
 
     def folded_constraints(self, alpha_pows: jnp.ndarray) -> jnp.ndarray:
         """sum_i alpha^i * C_i over the domain, ext-valued (m, 4);
-        alpha_pows: (num_constraints, 4) Monty device array."""
+        alpha_pows: (num_constraints, 4) Monty device array.  Vector entries
+        consume consecutive alpha powers in column order."""
         m = self._constraints[0].shape[0]
         acc = ext4.zero((m,))
-        for off in range(0, len(self._constraints), self.FOLD_CHUNK):
-            chunk = self._constraints[off : off + self.FOLD_CHUNK]
-            stacked = jnp.stack(chunk, axis=0)  # (c, m)
+        off = 0
+        pending: List[jnp.ndarray] = []
+        pcols = 0
+
+        def flush():
+            nonlocal acc, off, pending, pcols
+            if not pending:
+                return
+            stacked = jnp.concatenate(pending, axis=1)  # (m, K)
             prods = ext4.mul_base(
-                alpha_pows[off : off + len(chunk), None, :], stacked
+                alpha_pows[None, off : off + pcols, :], stacked
             )
-            acc = ext4.add(acc, bb.sum_mod(prods, axis=0))
+            acc = ext4.add(acc, bb.sum_mod(prods, axis=1))
+            off += pcols
+            pending = []
+            pcols = 0
+
+        for arr in self._constraints:
+            k = int(arr.shape[1])
+            if pcols and pcols + k > self.FOLD_CHUNK:
+                flush()
+            if k >= self.FOLD_CHUNK:
+                # split very wide entries directly
+                for c0 in range(0, k, self.FOLD_CHUNK):
+                    pending = [arr[:, c0 : c0 + self.FOLD_CHUNK]]
+                    pcols = int(pending[0].shape[1])
+                    flush()
+            else:
+                pending.append(arr)
+                pcols += k
+        flush()
         return acc
 
 
@@ -84,6 +118,7 @@ class VerifierBuilder(AirBuilder):
         public_values: Sequence[int],
         alpha: tuple,
     ):
+        self._opened = [list(opened_local), list(opened_next)]
         super().__init__(
             main_rows=[
                 [HostExtVal(v) for v in opened_local],
@@ -98,7 +133,19 @@ class VerifierBuilder(AirBuilder):
         self._alpha_pow = (1, 0, 0, 0)
         self._acc = (0, 0, 0, 0)
 
+    def main_cols(self, offset: int, indices):
+        from .values import HostExtVecVal
+
+        return HostExtVecVal([self._opened[offset][i] for i in indices])
+
     def _accumulate(self, x) -> None:
+        from .values import HostExtVecVal
+
+        if isinstance(x, HostExtVecVal):
+            for v in x.vals:
+                self._acc = rf.eadd(self._acc, rf.emul(self._alpha_pow, v))
+                self._alpha_pow = rf.emul(self._alpha_pow, self._alpha)
+            return
         self._acc = rf.eadd(self._acc, rf.emul(self._alpha_pow, x.c))
         self._alpha_pow = rf.emul(self._alpha_pow, self._alpha)
 

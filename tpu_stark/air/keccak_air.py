@@ -72,6 +72,45 @@ def _ap_col(lane: int, z: int) -> int:
     return AP_OFF + lane * Z + z
 
 
+# Precomputed column-index vectors for the vectorized constraint pass.
+_A_IDX = np.array([_a_col(l, z) for l in range(LANES) for z in range(Z)])
+_AP_IDX = np.array([_ap_col(l, z) for l in range(LANES) for z in range(Z)])
+_C_IDX = np.array([_c_col(x, z) for x in range(5) for z in range(Z)])
+_CHI00_IDX = np.array([CHI00_OFF + z for z in range(Z)])
+# theta: flat (x, z) order
+_THETA_A = [
+    np.array([_a_col(x + 5 * y, z) for x in range(5) for z in range(Z)])
+    for y in range(5)
+]
+_D_LEFT = np.array(
+    [_c_col((x - 1) % 5, z) for x in range(5) for z in range(Z)]
+)
+_D_RIGHT = np.array(
+    [_c_col((x + 1) % 5, (z - 1) % Z) for x in range(5) for z in range(Z)]
+)
+# expand (x, z) -> lane-major (lane, z)
+_D_EXPAND = np.array([(l % 5) * Z + z for l in range(LANES) for z in range(Z)])
+
+
+def _chi_operand_idx(k: int):
+    """ap column index feeding chi operand B[x+k] at each dst (lane, z)."""
+    out = []
+    for dst in range(LANES):
+        y5 = (dst // 5) * 5
+        x = dst % 5
+        src_dst = y5 + (x + k) % 5
+        src = int(_PI_SRC[src_dst])
+        rot = int(_PI_ROT[src_dst])
+        for z in range(Z):
+            out.append(_ap_col(src, (z - rot) % Z))
+    return np.array(out)
+
+
+_CHI_B0 = _chi_operand_idx(0)
+_CHI_B1 = _chi_operand_idx(1)
+_CHI_B2 = _chi_operand_idx(2)
+
+
 class KeccakAir(BaseAir):
     width = COLS
 
@@ -80,7 +119,10 @@ class KeccakAir(BaseAir):
         nxt = b.main_row(1)
         f = local[F_OFF : F_OFF + NUM_ROUNDS]
 
-        # -- flags ---------------------------------------------------------
+        def xor2(u, v):
+            return u + v - 2 * u * v
+
+        # -- flags (scalar: only 24 columns) -------------------------------
         first = b.when_first_row()
         first.assert_eq(f[0], 1)
         for r in range(1, NUM_ROUNDS):
@@ -96,68 +138,37 @@ class KeccakAir(BaseAir):
         for r in range(NUM_ROUNDS):
             trans.assert_eq(nf[r], f[(r - 1) % NUM_ROUNDS])
 
-        # -- booleanity ----------------------------------------------------
-        for lane in range(LANES):
-            for z in range(Z):
-                v = local[_a_col(lane, z)]
-                b.assert_zero(v * (v - 1))
-                w = local[_ap_col(lane, z)]
-                b.assert_zero(w * (w - 1))
-        for x in range(5):
-            for z in range(Z):
-                v = local[_c_col(x, z)]
-                b.assert_zero(v * (v - 1))
-        for z in range(Z):
-            v = local[CHI00_OFF + z]
+        # -- booleanity (vectorized) ---------------------------------------
+        for idx in (_A_IDX, _AP_IDX, _C_IDX, _CHI00_IDX):
+            v = b.main_cols(0, idx)
             b.assert_zero(v * (v - 1))
 
-        # -- theta parity --------------------------------------------------
-        for x in range(5):
-            for z in range(Z):
-                s = local[_a_col(x, z)]
-                for y in range(1, 5):
-                    s = s + local[_a_col(x + 5 * y, z)]
-                diff = s - local[_c_col(x, z)]
-                b.assert_zero(diff * (diff - 2) * (diff - 4))
+        # -- theta parity: (sum_y a - c)(sum - c - 2)(sum - c - 4) ---------
+        s = b.main_cols(0, _THETA_A[0])
+        for y in range(1, 5):
+            s = s + b.main_cols(0, _THETA_A[y])
+        diff = s - b.main_cols(0, _C_IDX)
+        b.assert_zero(diff * (diff - 2) * (diff - 4))
 
-        # -- A' = a xor d --------------------------------------------------
-        def xor2(u, v):
-            return u + v - 2 * u * v
+        # -- A' = a xor d ---------------------------------------------------
+        d = xor2(b.main_cols(0, _D_LEFT), b.main_cols(0, _D_RIGHT))  # (320,)
+        d_full = d.take(_D_EXPAND)  # lane-major (1600,)
+        a_vec = b.main_cols(0, _A_IDX)
+        b.assert_eq(b.main_cols(0, _AP_IDX), xor2(a_vec, d_full))
 
-        d = {}
-        for x in range(5):
-            for z in range(Z):
-                c1 = local[_c_col((x - 1) % 5, z)]
-                c2 = local[_c_col((x + 1) % 5, (z - 1) % Z)]
-                d[(x, z)] = xor2(c1, c2)
-        for lane in range(LANES):
-            x = lane % 5
-            for z in range(Z):
-                a_v = local[_a_col(lane, z)]
-                b.assert_eq(local[_ap_col(lane, z)], xor2(a_v, d[(x, z)]))
+        # -- chi over the rho/pi relabeling of A' (vectorized) -------------
+        b0 = b.main_cols(0, _CHI_B0)
+        b1 = b.main_cols(0, _CHI_B1)
+        b2 = b.main_cols(0, _CHI_B2)
+        t = (1 - b1) * b2
+        chi_vec = b0 + t - 2 * b0 * t  # (1600,) dst lane-major
 
-        # -- chi over the rho/pi relabeling of A' --------------------------
-        def b_bit(dst_lane: int, z: int):
-            src = int(_PI_SRC[dst_lane])
-            rot = int(_PI_ROT[dst_lane])
-            return local[_ap_col(src, (z - rot) % Z)]
+        b.assert_eq(b.main_cols(0, _CHI00_IDX), chi_vec.take(np.arange(Z)))
 
-        def chi(dst_lane: int, z: int):
-            y5 = (dst_lane // 5) * 5
-            x = dst_lane % 5
-            b0 = b_bit(y5 + x, z)
-            b1 = b_bit(y5 + (x + 1) % 5, z)
-            b2 = b_bit(y5 + (x + 2) % 5, z)
-            t = (1 - b1) * b2
-            return b0 + t - 2 * b0 * t
-
-        for z in range(Z):
-            b.assert_eq(local[CHI00_OFF + z], chi(0, z))
-
-        # -- round transition ---------------------------------------------
+        # -- round transition ----------------------------------------------
         not_last_round = 1 - f[NUM_ROUNDS - 1]
         gate = b.when_transition().when(not_last_round)
-        # rc bit as linear combination of flags
+        # lane (0,0): iota — rc bit linear in flags (scalar loop over z)
         for z in range(Z):
             rc = None
             for r in range(NUM_ROUNDS):
@@ -168,9 +179,10 @@ class KeccakAir(BaseAir):
                 gate.assert_eq(nxt[_a_col(0, z)], out00)
             else:
                 gate.assert_eq(nxt[_a_col(0, z)], xor2(out00, rc))
-        for lane in range(1, LANES):
-            for z in range(Z):
-                gate.assert_eq(nxt[_a_col(lane, z)], chi(lane, z))
+        # remaining lanes in one vector constraint
+        gate.assert_eq(
+            b.main_cols(1, _A_IDX[Z:]), chi_vec.take(np.arange(Z, LANES * Z))
+        )
 
 
 # ---------------------------------------------------------------------------

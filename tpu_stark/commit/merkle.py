@@ -67,6 +67,12 @@ def _digest_rows_np(arr: np.ndarray) -> List[Digest]:
     ]
 
 
+def _digest_at(layer, i: int) -> Digest:
+    """Digest i of a host or device-resident (N, 4, 2) layer."""
+    row = np.asarray(layer[i])
+    return tuple(int(row[j, 0]) | (int(row[j, 1]) << 32) for j in range(4))
+
+
 def _digest_to_lanes(d: Digest) -> np.ndarray:
     return np.array(
         [[w & 0xFFFFFFFF, w >> 32] for w in d], dtype=np.uint32
@@ -102,9 +108,13 @@ class MerkleTreeMmcs:
             ]
 
         layers = _build_layers(matrices, salts)
-        layers_np = [np.asarray(l) for l in layers]
-        root = _digest_rows_np(layers_np[-1])[0]
-        return root, ProverData(matrices, salts, layers_np, root)
+        # small layers to host (open_batch serves them constantly); huge leaf
+        # layers stay device-resident and are row-fetched on demand
+        layers_mixed = [
+            np.asarray(l) if int(l.shape[0]) <= (1 << 16) else l for l in layers
+        ]
+        root = _digest_at(layers_mixed[-1], 0)
+        return root, ProverData(matrices, salts, layers_mixed, root)
 
     # -- open --------------------------------------------------------------
     def open_batch(self, index: int, data: ProverData) -> BatchOpening:
@@ -120,8 +130,7 @@ class MerkleTreeMmcs:
         proof = []
         idx = index
         for l in range(log_max):
-            sib = _digest_rows_np(data.layers[l][(idx ^ 1) : (idx ^ 1) + 1])[0]
-            proof.append(sib)
+            proof.append(_digest_at(data.layers[l], idx ^ 1))
             idx >>= 1
         return BatchOpening(opened, opened_salts, proof)
 
@@ -162,37 +171,21 @@ class MerkleTreeMmcs:
         return tuple(node) == tuple(commitment)
 
 
-import functools
+@jax.jit
+def _leaf_layer(*mats):
+    return sponge.hash_field_rows_batched(
+        bb.to_u32(jnp.concatenate(mats, axis=1))
+    )
 
 
-@functools.lru_cache(maxsize=None)
-def _build_fn(shapes: Tuple[Tuple[int, int], ...]):
-    """Jitted tree-builder for a static flattened-shape structure (jit cache
-    per plan — the analog of the reference's per-log_n plan cache)."""
-    heights = sorted({h for h, _ in shapes}, reverse=True)
-    max_h = heights[0]
+@jax.jit
+def _compress_layer(digests):
+    return sponge.compress_digests_batched(digests[0::2], digests[1::2])
 
-    @jax.jit
-    def build(*dev_mats):
-        groups: dict = {h: [] for h in heights}
-        for (h, _w), m in zip(shapes, dev_mats):
-            groups[h].append(m)
-        digests = sponge.hash_field_rows_batched(jnp.concatenate(groups[max_h], axis=1))
-        layers = [digests]
-        h = max_h
-        while h > 1:
-            h >>= 1
-            d = sponge.compress_digests_batched(digests[0::2], digests[1::2])
-            if h in groups:
-                inj = sponge.hash_field_rows_batched(
-                    jnp.concatenate(groups[h], axis=1)
-                )
-                d = sponge.compress_digests_batched(d, inj)
-            digests = d
-            layers.append(d)
-        return layers
 
-    return build
+@jax.jit
+def _compress_pairwise(a, b):
+    return sponge.compress_digests_batched(a, b)
 
 
 def _build_layers(
@@ -200,17 +193,30 @@ def _build_layers(
 ) -> List[jnp.ndarray]:
     """Device-side tree build: list of (N_l, 4, 2) digest layers, leaves first.
 
-    Matrices (and their salts, hiding mode) are serialized to canonical u32
-    and grouped by height, tallest first, preserving input order per height.
+    Matrices (and their salts, hiding mode) are grouped by height, tallest
+    first, preserving input order per height.  Each layer is its own cached
+    jitted program (shape-keyed): compile cost is one small graph per distinct
+    layer size instead of one graph linear in log(height) — the per-log_n plan
+    cache discipline of the reference (backend_vulkan.rs:977-996) applied to
+    compile artifacts.
     """
-    flat: List[jnp.ndarray] = []
-    shapes: List[Tuple[int, int]] = []
+    groups: dict = {}
     for h in sorted({int(m.shape[0]) for m in matrices}, reverse=True):
+        mats = []
         for k, m in enumerate(matrices):
             if int(m.shape[0]) == h:
-                flat.append(bb.to_u32(m))
-                shapes.append((h, int(m.shape[1])))
+                mats.append(m)
                 if salts is not None:
-                    flat.append(bb.to_u32(salts[k]))
-                    shapes.append((h, int(salts[k].shape[1])))
-    return _build_fn(tuple(shapes))(*flat)
+                    mats.append(salts[k])
+        groups[h] = mats
+    max_h = max(groups)
+    digests = _leaf_layer(*groups[max_h])
+    layers = [digests]
+    h = max_h
+    while h > 1:
+        h >>= 1
+        digests = _compress_layer(digests)
+        if h in groups:
+            digests = _compress_pairwise(digests, _leaf_layer(*groups[h]))
+        layers.append(digests)
+    return layers

@@ -100,30 +100,41 @@ class BatchOpening:
     proof: List[FieldDigest]
 
 
-@functools.lru_cache(maxsize=None)
-def _build_fn(shapes: Tuple[Tuple[int, int], ...]):
-    heights = sorted({h for h, _ in shapes}, reverse=True)
-    max_h = heights[0]
+def _digest_at(layer, i: int) -> FieldDigest:
+    """Digest i of a layer: host layers are canonical np, device layers Monty."""
+    if isinstance(layer, np.ndarray):
+        return tuple(int(v) for v in layer[i])
+    return tuple(int(v) for v in bb.np_from_monty(np.asarray(layer[i])))
 
-    @jax.jit
-    def build(*dev_mats):
-        groups: dict = {h: [] for h in heights}
-        for (h, _w), m in zip(shapes, dev_mats):
-            groups[h].append(m)
-        digests = hash_rows_batched(jnp.concatenate(groups[max_h], axis=1))
-        layers = [digests]
-        h = max_h
-        while h > 1:
-            h >>= 1
-            d = compress_batched(digests[0::2], digests[1::2])
-            if h in groups:
-                inj = hash_rows_batched(jnp.concatenate(groups[h], axis=1))
-                d = compress_batched(d, inj)
-            digests = d
-            layers.append(d)
-        return layers
 
-    return build
+@jax.jit
+def _leaf_layer(*mats):
+    return hash_rows_batched(jnp.concatenate(mats, axis=1))
+
+
+@jax.jit
+def _compress_layer(digests):
+    return compress_batched(digests[0::2], digests[1::2])
+
+
+@jax.jit
+def _compress_pairwise(a, b):
+    return compress_batched(a, b)
+
+
+def _build_layers(groups: dict) -> List[jnp.ndarray]:
+    """Per-layer cached jits (see merkle._build_layers rationale)."""
+    max_h = max(groups)
+    digests = _leaf_layer(*groups[max_h])
+    layers = [digests]
+    h = max_h
+    while h > 1:
+        h >>= 1
+        digests = _compress_layer(digests)
+        if h in groups:
+            digests = _compress_pairwise(digests, _leaf_layer(*groups[h]))
+        layers.append(digests)
+    return layers
 
 
 class Poseidon2Mmcs:
@@ -152,19 +163,22 @@ class Poseidon2Mmcs:
                 )
                 for m in matrices
             ]
-        flat, shapes = [], []
+        groups: dict = {}
         for h in sorted({int(m.shape[0]) for m in matrices}, reverse=True):
+            mats = []
             for k, m in enumerate(matrices):
                 if int(m.shape[0]) == h:
-                    flat.append(m)
-                    shapes.append((h, int(m.shape[1])))
+                    mats.append(m)
                     if salts is not None:
-                        flat.append(salts[k])
-                        shapes.append((h, self.SALT_ELEMS))
-        layers = _build_fn(tuple(shapes))(*flat)
-        layers_np = [bb.np_from_monty(np.asarray(l)) for l in layers]
-        root = tuple(int(v) for v in layers_np[-1][0])
-        return root, ProverData(matrices, salts, layers_np, root)
+                        mats.append(salts[k])
+            groups[h] = mats
+        layers = _build_layers(groups)
+        layers_mixed = [
+            bb.np_from_monty(np.asarray(l)) if int(l.shape[0]) <= (1 << 16) else l
+            for l in layers
+        ]
+        root = _digest_at(layers_mixed[-1], 0)
+        return root, ProverData(matrices, salts, layers_mixed, root)
 
     def open_batch(self, index: int, data: ProverData) -> BatchOpening:
         max_h = max(int(m.shape[0]) for m in data.matrices)
@@ -179,7 +193,7 @@ class Poseidon2Mmcs:
         proof = []
         idx = index
         for l in range(log_max):
-            proof.append(tuple(int(v) for v in data.layers[l][idx ^ 1]))
+            proof.append(_digest_at(data.layers[l], idx ^ 1))
             idx >>= 1
         return BatchOpening(opened, opened_salts, proof)
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..backend import registry
 from ..backend.registry import BackendKind
-from . import radix2
+from . import pallas_ntt, radix2
 
 
 def _cpu_device():
@@ -51,6 +51,19 @@ class Dft:
     # -- dispatch ----------------------------------------------------------
     def _run(self, fn, *args, **kwargs):
         kind = self.backend
+        if kind is BackendKind.INTERPRET:
+            # Pallas interpreter mode when the kernel covers the shape —
+            # the debug-build cross-check analog (backend_vulkan.rs:2028-2057)
+            try:
+                mat = args[0]
+                if fn is radix2.dft_batch and pallas_ntt.supports(*mat.shape):
+                    from ..matrix import reverse_matrix_index_bits
+
+                    return pallas_ntt.ntt_from_bitrev(
+                        reverse_matrix_index_bits(mat), interpret=True
+                    )
+            except Exception as e:  # noqa: BLE001
+                registry.record_error(f"interpret backend failed: {e}")
         if kind in (BackendKind.TPU, BackendKind.INTERPRET):
             try:
                 if kind is BackendKind.TPU and not registry.is_tpu_available():

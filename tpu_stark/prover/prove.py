@@ -80,12 +80,9 @@ def get_log_quotient_degree(air: BaseAir, num_public_values: int, zk: bool) -> i
     chunks = next_pow2(max(d, 2) - 1)."""
     import math
 
-    b = SymbolicAirBuilder(air.width, num_public_values)
-    # re-tag trace vars with the committed degree multiple
-    t = 2 if zk else 1
-    from ..air.values import SymVal
-
-    b._main = [[SymVal(t) for _ in range(air.width)] for _ in range(2)]
+    b = SymbolicAirBuilder(
+        air.width, num_public_values, trace_degree_multiple=2 if zk else 1
+    )
     air.eval(b)
     d = max(b.max_degree, 2)
     return max(0, math.ceil(math.log2(d - 1)))
