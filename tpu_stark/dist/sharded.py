@@ -94,3 +94,22 @@ def sharded_prove_step_fn(mesh: Mesh, log_blowup: int = 2):
         return root, bb.sum_mod(bb.sum_mod(rows, 0), 0)
 
     return step
+
+
+def sharded_quotient_fn(mesh: Mesh, air, log_n: int, log_qd: int, num_pis: int):
+    """Row-sharded quotient evaluation via GSPMD: domain points are
+    independent, so the quotient domain rows shard over the mesh and XLA
+    inserts the one collective the row-roll (next-row access) needs
+    (SURVEY.md par5.8: annotate shardings, let XLA place collectives)."""
+    from jax.sharding import NamedSharding
+
+    from ..prover.prove import _quotient_fn, _register_air
+
+    qfn = _quotient_fn(_register_air(air), log_n, log_n + log_qd, num_pis)
+    row_sharded = NamedSharding(mesh, P(COL_AXIS, None))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        qfn,
+        in_shardings=(row_sharded, replicated, replicated),
+        out_shardings=row_sharded,
+    )
