@@ -51,3 +51,47 @@ def test_sharded_commit_4_devices():
     root_np = np.asarray(root)
     got = tuple(int(root_np[j, 0]) | (int(root_np[j, 1]) << 32) for j in range(4))
     assert got == tuple(want_root)
+
+
+def test_sharded_quotient_matches_single_device():
+    import jax.numpy as jnp
+    from tpu_stark.air.air import get_symbolic_info
+    from tpu_stark.air.fibonacci import FibonacciAir, generate_trace_rows
+    from tpu_stark.dist.sharded import sharded_quotient_fn
+    from tpu_stark.fields import ref_field as rf
+    from tpu_stark.prover.config import create_config
+    from tpu_stark.prover.prove import (
+        _quotient_fn,
+        _register_air,
+        get_log_quotient_degree,
+    )
+
+    air = FibonacciAir()
+    n = 64
+    trace = generate_trace_rows(0, 1, n)
+    pis = [0, 1, int(trace[-1, 1])]
+    log_qd = get_log_quotient_degree(air, 3, zk=False)
+    pcs = create_config(zk=False, backend="cpu").pcs
+    dom = pcs.natural_domain_for_degree(n)
+    _c, data = pcs.commit([(dom, jnp.asarray(bb.np_to_monty(trace)))])
+    qdom = dom.create_disjoint_domain(n << log_qd)
+    t_on_q = pcs.get_evaluations_on_domain(data, 0, qdom)
+    alpha = (3, 1, 4, 1)
+    k, _ = get_symbolic_info(air, 3)
+    apows = [(1, 0, 0, 0)]
+    for _ in range(k - 1):
+        apows.append(rf.emul(apows[-1], alpha))
+    apows_dev = jnp.asarray(
+        bb.np_to_monty(np.array(apows, dtype=np.uint64).astype(np.uint32))
+    )
+    pis_dev = jnp.asarray(bb.np_to_monty(np.array(pis, dtype=np.uint32)))
+    mesh = make_mesh(8)
+    got = np.asarray(
+        sharded_quotient_fn(mesh, air, 6, log_qd, 3)(t_on_q, pis_dev, apows_dev)
+    )
+    want = np.asarray(
+        _quotient_fn(_register_air(air), 6, 6 + log_qd, 3)(
+            t_on_q, pis_dev, apows_dev
+        )
+    )
+    np.testing.assert_array_equal(got, want)
