@@ -31,12 +31,11 @@ Keccak-f computation.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 
-from ..fields import babybear as bb
-from ..hash.keccak import ROUND_CONSTANTS, _ROT, keccak_f
+from ..hash.keccak import ROUND_CONSTANTS, _ROT
 from .air import AirBuilder, BaseAir
 
 NUM_ROUNDS = 24

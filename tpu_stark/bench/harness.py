@@ -18,7 +18,6 @@ and any silent fallback is promoted to an error (fib_air.rs:183-196).
 from __future__ import annotations
 
 import dataclasses
-import statistics
 import time
 from typing import Callable, Dict, List, Optional, Tuple
 

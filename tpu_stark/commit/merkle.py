@@ -60,23 +60,10 @@ class BatchOpening:
     proof: List[Digest]  # sibling digests, leaf layer first
 
 
-def _digest_rows_np(arr: np.ndarray) -> List[Digest]:
-    return [
-        tuple(int(arr[i, j, 0]) | (int(arr[i, j, 1]) << 32) for j in range(4))
-        for i in range(arr.shape[0])
-    ]
-
-
 def _digest_at(layer, i: int) -> Digest:
     """Digest i of a host or device-resident (N, 4, 2) layer."""
     row = np.asarray(layer[i])
     return tuple(int(row[j, 0]) | (int(row[j, 1]) << 32) for j in range(4))
-
-
-def _digest_to_lanes(d: Digest) -> np.ndarray:
-    return np.array(
-        [[w & 0xFFFFFFFF, w >> 32] for w in d], dtype=np.uint32
-    )
 
 
 class MerkleTreeMmcs:

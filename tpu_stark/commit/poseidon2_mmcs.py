@@ -21,7 +21,6 @@ on the VPU.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
