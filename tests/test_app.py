@@ -1,0 +1,40 @@
+"""App API contract tests (the reference's JNI surface semantics,
+lib.rs:37-179): success strings, panic containment, backend knob."""
+
+from tpu_stark.app import api
+from tpu_stark.backend import registry
+
+
+def setup_module():
+    registry.set_backend("cpu")
+
+
+def teardown_module():
+    registry.set_backend("tpu")
+
+
+def test_run_fib_air_zk_contract_string():
+    out = api.run_fib_air_zk(n=8)
+    assert out == "fib_air zk ok (n=8, x=21)"  # fib_air.rs:74 contract
+
+
+def test_run_fib_air_zk_poseidon2():
+    out = api.run_fib_air_zk(n=8, hash="poseidon2")
+    assert out == "fib_air zk ok (n=8, x=21)"
+
+
+def test_panic_containment():
+    # invalid n (not a power of two) must not raise — panic containment
+    out = api.run_fib_air_zk(n=7)
+    assert out.startswith("fib_air zk panicked:")
+
+
+def test_backend_knob_roundtrip():
+    api.set_backend("interpret")
+    assert registry.backend_kind().value == "interpret"
+    api.set_backend("cpu")
+    assert registry.backend_kind().value == "cpu"
+
+
+def test_probe_never_raises():
+    assert api.is_tpu_available() in (True, False)

@@ -78,7 +78,9 @@ class TestPoseidon2Mmcs:
         vals = RNG.integers(0, bb.P, size=(2, 9)).astype(np.uint32)
         m = jnp.asarray(bb.np_to_monty(vals))
         root, data = mmcs.commit([m])
-        leaf0 = tuple(int(v) for v in data.layers[0][0])
+        from tpu_stark.commit.poseidon2_mmcs import _digest_at
+
+        leaf0 = _digest_at(data.layers[0], 0)
         assert leaf0 == hash_row_host([int(v) for v in vals[0]])
         want_root = compress_host(
             hash_row_host([int(v) for v in vals[0]]),

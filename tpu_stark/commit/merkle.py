@@ -95,30 +95,43 @@ class MerkleTreeMmcs:
             ]
 
         layers = _build_layers(matrices, salts)
-        # small layers to host (open_batch serves them constantly); huge leaf
-        # layers stay device-resident and are row-fetched on demand
-        layers_mixed = [
-            np.asarray(l) if int(l.shape[0]) <= (1 << 16) else l for l in layers
-        ]
-        root = _digest_at(layers_mixed[-1], 0)
-        return root, ProverData(matrices, salts, layers_mixed, root)
+        # layers stay device-resident; query openings fetch the few digests
+        # they touch in one batched transfer (open_batch) — eager host
+        # conversion of every layer costs hundreds of tunnel round trips
+        root = _digest_at(layers[-1], 0)
+        return root, ProverData(matrices, salts, layers, root)
 
     # -- open --------------------------------------------------------------
     def open_batch(self, index: int, data: ProverData) -> BatchOpening:
         max_h = max(int(m.shape[0]) for m in data.matrices)
         log_max = log2_strict(max_h)
-        opened, opened_salts = [], [] if data.salts is not None else None
+        fetch: List = []  # device values gathered into ONE transfer
         for k, m in enumerate(data.matrices):
             h = int(m.shape[0])
             row_idx = index >> (log_max - log2_strict(h))
-            opened.append(np.array(bb.to_u32(m[row_idx])))
-            if opened_salts is not None:
-                opened_salts.append(np.array(bb.to_u32(data.salts[k][row_idx])))
-        proof = []
+            fetch.append(bb.to_u32(m[row_idx]))
+            if data.salts is not None:
+                fetch.append(bb.to_u32(data.salts[k][row_idx]))
         idx = index
         for l in range(log_max):
-            proof.append(_digest_at(data.layers[l], idx ^ 1))
+            fetch.append(data.layers[l][idx ^ 1])
             idx >>= 1
+        host = jax.device_get(fetch)
+        opened, opened_salts = [], [] if data.salts is not None else None
+        pos = 0
+        for _ in data.matrices:
+            opened.append(np.array(host[pos]))
+            pos += 1
+            if opened_salts is not None:
+                opened_salts.append(np.array(host[pos]))
+                pos += 1
+        proof = []
+        for _ in range(log_max):
+            row = host[pos]
+            pos += 1
+            proof.append(
+                tuple(int(row[j, 0]) | (int(row[j, 1]) << 32) for j in range(4))
+            )
         return BatchOpening(opened, opened_salts, proof)
 
     # -- verify (host, per query) -----------------------------------------

@@ -172,28 +172,42 @@ class Poseidon2Mmcs:
                         mats.append(salts[k])
             groups[h] = mats
         layers = _build_layers(groups)
-        layers_mixed = [
-            bb.np_from_monty(np.asarray(l)) if int(l.shape[0]) <= (1 << 16) else l
-            for l in layers
-        ]
-        root = _digest_at(layers_mixed[-1], 0)
-        return root, ProverData(matrices, salts, layers_mixed, root)
+        # device-resident layers; openings batch-fetch (see merkle.py note)
+        root = _digest_at(layers[-1], 0)
+        return root, ProverData(matrices, salts, layers, root)
 
     def open_batch(self, index: int, data: ProverData) -> BatchOpening:
         max_h = max(int(m.shape[0]) for m in data.matrices)
         log_max = log2_strict(max_h)
-        opened, opened_salts = [], [] if data.salts is not None else None
+        fetch: List = []
         for k, m in enumerate(data.matrices):
             h = int(m.shape[0])
             ri = index >> (log_max - log2_strict(h))
-            opened.append(np.array(bb.to_u32(m[ri])))
-            if opened_salts is not None:
-                opened_salts.append(np.array(bb.to_u32(data.salts[k][ri])))
-        proof = []
+            fetch.append(bb.to_u32(m[ri]))
+            if data.salts is not None:
+                fetch.append(bb.to_u32(data.salts[k][ri]))
         idx = index
         for l in range(log_max):
-            proof.append(_digest_at(data.layers[l], idx ^ 1))
+            layer = data.layers[l]
+            fetch.append(
+                layer[idx ^ 1]
+                if isinstance(layer, np.ndarray)
+                else bb.to_u32(layer[idx ^ 1])
+            )
             idx >>= 1
+        host = jax.device_get(fetch)
+        opened, opened_salts = [], [] if data.salts is not None else None
+        pos = 0
+        for _ in data.matrices:
+            opened.append(np.array(host[pos]))
+            pos += 1
+            if opened_salts is not None:
+                opened_salts.append(np.array(host[pos]))
+                pos += 1
+        proof = []
+        for _ in range(log_max):
+            proof.append(tuple(int(v) for v in host[pos]))
+            pos += 1
         return BatchOpening(opened, opened_salts, proof)
 
     def verify_batch(

@@ -103,18 +103,26 @@ def inv(a):
     return mul_base(b, bb.inv(norm))
 
 
+import functools as _functools
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnums=(1,))
+def _powers_device_jit(z_dev: jnp.ndarray, n: int) -> jnp.ndarray:
+    out = one((1,))
+    step = z_dev
+    while out.shape[0] < n:
+        out = jnp.concatenate([out, mul(out, step[None, :])], axis=0)
+        step = mul(step, step)  # z^L -> z^(2L)
+    return out[:n]
+
+
 def powers_device(z_canonical, n: int) -> jnp.ndarray:
     """Device array (n, 4) of [1, z, z^2, ...] in Monty form for an ext point
-    given as canonical coefficient tuple — built by doubling (log n vector
-    ext-muls on device; host computes only the log n step constants)."""
-    from . import ref_field as rf
-
-    z = tuple(int(c) % bb.P for c in z_canonical)
-    out = one((1,))
-    while out.shape[0] < n:
-        step = scalar(rf.epow(z, out.shape[0]))
-        out = jnp.concatenate([out, mul(out, step[None, :])], axis=0)
-    return out[:n]
+    given as canonical coefficient tuple — one jitted doubling chain (a single
+    dispatch; the loop lives in-graph)."""
+    z = scalar(tuple(int(c) % bb.P for c in z_canonical))
+    return _powers_device_jit(z, n)
 
 
 def pow_const(a, e: int):

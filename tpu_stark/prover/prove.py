@@ -94,6 +94,18 @@ def prove(
     trace: np.ndarray,  # (n, width) canonical uint32
     public_values: Sequence[int],
 ) -> Proof:
+    import os
+    import time
+
+    timing = os.environ.get("TPU_STARK_TIMING") == "1"
+    t_last = [time.perf_counter()]
+
+    def mark(phase: str) -> None:
+        if timing:
+            now = time.perf_counter()
+            print(f"[prove] {phase}: {now - t_last[0]:.3f}s", flush=True)
+            t_last[0] = now
+
     pcs = config.pcs
     dft = pcs.dft
     challenger = config.challenger()
@@ -119,7 +131,9 @@ def prove(
         committed_domain = trace_domain
         committed_evals = trace_dev
 
+    mark("trace randomize+lde prep")
     trace_commit, trace_data = pcs.commit([(committed_domain, committed_evals)])
+    mark("trace commit")
 
     challenger.observe_u32(log_n)
     challenger.observe_commitment(trace_commit)
@@ -145,10 +159,12 @@ def prove(
         _register_air(air), log_n, log_n + log_qd, len(public_values)
     )
     quotient_vals = qfn(trace_on_q, pis_dev, alpha_pows_dev)
+    mark("quotient eval")
 
     chunk_domains = quotient_domain.split_domains(qd)
     chunks = [quotient_vals[i::qd] for i in range(qd)]  # (n, 4) base mats
     quotient_commit, quotient_data = pcs.commit(list(zip(chunk_domains, chunks)))
+    mark("quotient commit")
     challenger.observe_commitment(quotient_commit)
 
     # -- 3. open at zeta ---------------------------------------------------
@@ -162,6 +178,7 @@ def prove(
         ],
         challenger,
     )
+    mark("pcs open (reduced openings + FRI + queries)")
     trace_local = [tuple(v) for v in opened[0][0][0]]
     trace_next = [tuple(v) for v in opened[0][0][1]]
     quotient_opened = [[tuple(v) for v in opened[1][i][0]] for i in range(qd)]
