@@ -87,11 +87,36 @@ OpenedValues = List[List[List[List[int]]]]
 # ---------------------------------------------------------------------------
 # Helpers
 # ---------------------------------------------------------------------------
+_COL_CHUNK = 64  # bounds the (H, chunk, 4) intermediates (wide AIRs at 2^20+
+# rows would otherwise materialize multi-GB products and OOM HBM)
+
+
+def _pad_cols(mat: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    w = mat.shape[1]
+    pad = (-w) % multiple
+    if pad:
+        mat = jnp.concatenate(
+            [mat, jnp.zeros(mat.shape[:1] + (pad,) + mat.shape[2:], mat.dtype)],
+            axis=1,
+        )
+    return mat
+
+
 @jax.jit
 def _eval_at_point(r_coeffs: jnp.ndarray, zpow: jnp.ndarray) -> jnp.ndarray:
-    """r(z) for every column: (H, w) base coeffs x (H, 4) ext powers -> (w, 4)."""
-    prod = bb.mul(r_coeffs[:, :, None], zpow[:, None, :])  # (H, w, 4)
-    return bb.sum_mod(prod, axis=0)
+    """r(z) for every column: (H, w) base coeffs x (H, 4) ext powers -> (w, 4).
+    Sequential column chunks (lax.map) bound peak memory."""
+    h, w = r_coeffs.shape
+    rc = _pad_cols(r_coeffs, _COL_CHUNK)
+    wp = rc.shape[1]
+    chunks = rc.reshape(h, wp // _COL_CHUNK, _COL_CHUNK).transpose(1, 0, 2)
+
+    def body(chunk):  # (H, CH) -> (CH, 4)
+        prod = bb.mul(chunk[:, :, None], zpow[:, None, :])
+        return bb.sum_mod(prod, axis=0)
+
+    out = jax.lax.map(body, chunks)  # (k, CH, 4)
+    return out.reshape(wp, 4)[:w]
 
 
 def _ext_scale_rows(ext_vec: jnp.ndarray, base_vec: jnp.ndarray) -> jnp.ndarray:
@@ -504,9 +529,24 @@ def _alpha_pows_dev(alpha: ExtPoint, offset: int, w: int) -> jnp.ndarray:
 
 @jax.jit
 def _combine_columns(mat_br: jnp.ndarray, apows: jnp.ndarray) -> jnp.ndarray:
-    """sum_col alpha^(off+col) * y_col(x): (H, w) x (w, 4) -> (H, 4) ext."""
-    prod = ext4.mul_base(apows[None, :, :], mat_br)  # (H, w, 4)
-    return bb.sum_mod(prod, axis=1)
+    """sum_col alpha^(off+col) * y_col(x): (H, w) x (w, 4) -> (H, 4) ext.
+    Sequential column-chunk scan bounds peak memory for wide matrices."""
+    h, w = mat_br.shape
+    mp = _pad_cols(mat_br, _COL_CHUNK)
+    ap = jnp.concatenate(
+        [apows, jnp.zeros((mp.shape[1] - w, 4), dtype=apows.dtype)], axis=0
+    )
+    k = mp.shape[1] // _COL_CHUNK
+    m_chunks = mp.reshape(h, k, _COL_CHUNK).transpose(1, 0, 2)
+    a_chunks = ap.reshape(k, _COL_CHUNK, 4)
+
+    def body(carry, xs):
+        m, a = xs
+        contrib = bb.sum_mod(ext4.mul_base(a[None, :, :], m), axis=1)
+        return ext4.add(carry, contrib), None
+
+    acc, _ = jax.lax.scan(body, ext4.zero((h,)), (m_chunks, a_chunks))
+    return acc
 
 
 @jax.jit
