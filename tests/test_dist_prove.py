@@ -1,0 +1,43 @@
+"""Full multi-chip prove on the virtual 8-device mesh (BASELINE config 5).
+
+The sharded prover must produce **byte-identical** proofs to the single-device
+prover — same Fiat-Shamir transcript, same Merkle roots, same FRI queries —
+since the mesh only changes where the rows live, not the math."""
+
+import numpy as np
+import pytest
+
+from tpu_stark.air.fibonacci import FibonacciAir, generate_trace_rows
+from tpu_stark.dist.ntt import make_row_mesh
+from tpu_stark.prover.config import create_config
+from tpu_stark.prover.proof import serialize_proof
+from tpu_stark.prover.prove import prove
+from tpu_stark.prover.verify import verify
+
+
+def _fib_setup(n):
+    air = FibonacciAir()
+    trace = generate_trace_rows(0, 1, n)
+    pis = [0, 1, int(trace[-1, 1])]
+    return air, trace, pis
+
+
+@pytest.mark.parametrize("zk", [False, True])
+def test_sharded_prove_bit_identical_and_verifies(zk):
+    n = 64
+    air, trace, pis = _fib_setup(n)
+    mesh = make_row_mesh(8)
+
+    proof_sharded = prove(create_config(zk=zk, mesh=mesh), air, trace, pis)
+    proof_single = prove(create_config(zk=zk), air, trace, pis)
+
+    assert serialize_proof(proof_sharded) == serialize_proof(proof_single)
+    assert verify(create_config(zk=zk), air, proof_sharded, pis)
+
+
+def test_sharded_prove_4_devices_zk():
+    n = 128
+    air, trace, pis = _fib_setup(n)
+    mesh = make_row_mesh(4)
+    proof = prove(create_config(zk=True, mesh=mesh), air, trace, pis)
+    assert verify(create_config(zk=True), air, proof, pis)

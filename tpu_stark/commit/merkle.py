@@ -76,9 +76,12 @@ class MerkleTreeMmcs:
     SALT_ELEMS = 4
 
     def __init__(self, hiding: bool = False, rng: Optional[SmallRng] = None,
-                 rng_seed: int = 1):
+                 rng_seed: int = 1, sharding=None):
         self.hiding = hiding
         self._rng = rng if rng is not None else SmallRng.seed_from_u64(rng_seed)
+        # Optional jax.sharding.Sharding for committed matrices' salts (the
+        # multi-chip path row-shards them next to the codewords; dist/pcs.py).
+        self.sharding = sharding
 
     # -- commit ------------------------------------------------------------
     def commit(self, matrices: Sequence[jnp.ndarray]) -> Tuple[Digest, ProverData]:
@@ -93,6 +96,8 @@ class MerkleTreeMmcs:
                 jnp.asarray(self._rng.sample_babybear_matrix_monty(h, self.SALT_ELEMS))
                 for h in heights
             ]
+            if self.sharding is not None:
+                salts = [jax.device_put(s, self.sharding) for s in salts]
 
         layers = _build_layers(matrices, salts)
         # layers stay device-resident; query openings fetch the few digests
@@ -171,6 +176,24 @@ class MerkleTreeMmcs:
         return tuple(node) == tuple(commitment)
 
 
+def gather_if_tiny(arr: jnp.ndarray) -> jnp.ndarray:
+    """Collapse a multi-device array to one device once it has <2 rows per
+    device.  Sub-device-count shapes make GSPMD re-shard across trailing axes
+    (observed: a (4, 8) fold row committed over 8 CPU devices re-sharded to
+    {devices=[4,2]} and the partitioned Keccak program returned wrong digests)
+    — and the work is trivial at these sizes anyway, so the tree/fold tails
+    run single-device by construction."""
+    try:
+        devs = arr.devices()
+    except Exception:  # noqa: BLE001 — tracers/numpy inputs pass through
+        return arr
+    if len(devs) > 1 and arr.shape[0] < 2 * len(devs):
+        return jax.device_put(
+            arr, jax.sharding.SingleDeviceSharding(next(iter(sorted(devs, key=lambda d: d.id))))
+        )
+    return arr
+
+
 @jax.jit
 def _leaf_layer(*mats):
     return sponge.hash_field_rows_batched(
@@ -210,13 +233,15 @@ def _build_layers(
                     mats.append(salts[k])
         groups[h] = mats
     max_h = max(groups)
-    digests = _leaf_layer(*groups[max_h])
+    digests = _leaf_layer(*[gather_if_tiny(m) for m in groups[max_h]])
     layers = [digests]
     h = max_h
     while h > 1:
         h >>= 1
-        digests = _compress_layer(digests)
+        digests = _compress_layer(gather_if_tiny(digests))
         if h in groups:
-            digests = _compress_pairwise(digests, _leaf_layer(*groups[h]))
+            digests = _compress_pairwise(
+                digests, _leaf_layer(*[gather_if_tiny(m) for m in groups[h]])
+            )
         layers.append(digests)
     return layers

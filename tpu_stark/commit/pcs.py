@@ -45,7 +45,7 @@ from ..fri.config import FriParameters
 from ..fri.domains import ExtPoint, TwoAdicCoset
 from ..matrix import bit_reversal_perm, log2_strict, reverse_matrix_index_bits
 from ..ntt.dft import Dft
-from .merkle import BatchOpening, Digest, MerkleTreeMmcs
+from .merkle import BatchOpening, Digest, MerkleTreeMmcs, gather_if_tiny
 
 
 # ---------------------------------------------------------------------------
@@ -291,6 +291,10 @@ class TwoAdicFriPcs:
         current = ro[log_max]
         log_h = log_max
         while log_h > log_min:
+            # multi-device folds collapse to one device once tiny (see
+            # merkle.gather_if_tiny: sub-device-count GSPMD shapes are both
+            # slow and hazardous); the big early folds stay sharded.
+            current = gather_if_tiny(current)
             pairs = current.reshape(-1, 2, 4)  # (h/2, 2, 4) ext pairs
             flat = pairs.reshape(-1, 8)  # ExtensionMmcs flattening
             c_root, c_data = self.challenge_mmcs.commit([flat])

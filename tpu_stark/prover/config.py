@@ -38,6 +38,7 @@ def create_config(
     backend: Optional[str] = None,
     rng_seed: int = 1,
     hash: str = "keccak",
+    mesh=None,
 ) -> StarkConfig:
     """Assemble a full config.
 
@@ -46,6 +47,9 @@ def create_config(
     codewords, byte-level Fiat-Shamir (fib_air.rs:40-66).
     ``hash="poseidon2"`` is the field-native production stack (BASELINE
     configs): Poseidon2 MMCS + duplex challenger — no serialization anywhere.
+    ``mesh`` (a jax.sharding.Mesh) switches the PCS to the multi-chip sharded
+    path (dist/pcs.py): distributed NTT + collective Merkle, bit-identical
+    proofs (BASELINE config 5).
     """
     fri = fri_params if fri_params is not None else create_test_fri_params(2)
     dft = Dft(backend=backend)
@@ -59,8 +63,15 @@ def create_config(
         challenger_factory = DuplexChallenger
     else:
         raise ValueError(f"unknown hash stack {hash!r}")
+    if mesh is not None:
+        from ..dist.pcs import ShardedPcs
+
+        def pcs_cls(*args, **kwargs):
+            return ShardedPcs(mesh, *args, **kwargs)
+    else:
+        pcs_cls = TwoAdicFriPcs
     if zk:
-        pcs = TwoAdicFriPcs(
+        pcs = pcs_cls(
             dft,
             fri,
             val_mmcs=mmcs_cls(hiding=True, rng=SmallRng.seed_from_u64(rng_seed)),
@@ -69,7 +80,7 @@ def create_config(
             rng=SmallRng.seed_from_u64(rng_seed),
         )
     else:
-        pcs = TwoAdicFriPcs(dft, fri, val_mmcs=mmcs_cls(), challenge_mmcs=mmcs_cls())
+        pcs = pcs_cls(dft, fri, val_mmcs=mmcs_cls(), challenge_mmcs=mmcs_cls())
     return StarkConfig(
         pcs=pcs, zk=zk, rng_seed=rng_seed, challenger_factory=challenger_factory
     )
