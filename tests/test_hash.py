@@ -59,6 +59,32 @@ class TestBatchedKeccakF:
             assert got == want
 
 
+class TestLayoutDispatch:
+    def test_lane_layout_matches_stacked(self, monkeypatch):
+        """The TPU lane layout and the CPU stacked layout are the same
+        permutation (the suite runs on CPU, so the lane path needs explicit
+        coverage)."""
+        states = RNG.integers(0, 1 << 64, size=(5, 25), dtype=np.uint64)
+        lanes = [
+            (
+                jnp.asarray((states[:, i] & 0xFFFFFFFF).astype(np.uint32)),
+                jnp.asarray((states[:, i] >> 32).astype(np.uint32)),
+            )
+            for i in range(25)
+        ]
+        monkeypatch.setenv("TPU_STARK_KECCAK_LAYOUT", "stacked")
+        stacked = keccak.keccak_f_batched(lanes)
+        monkeypatch.setenv("TPU_STARK_KECCAK_LAYOUT", "lanes")
+        # unroll=24 (the TPU default) is exercised on real TPU runs; XLA-CPU
+        # compiles the fully-unrolled form pathologically slowly (minutes).
+        for unroll in ("1", "4"):
+            monkeypatch.setenv("TPU_STARK_KECCAK_UNROLL", unroll)
+            got = keccak.keccak_f_batched(lanes)
+            for i in range(25):
+                np.testing.assert_array_equal(np.asarray(got[i][0]), np.asarray(stacked[i][0]))
+                np.testing.assert_array_equal(np.asarray(got[i][1]), np.asarray(stacked[i][1]))
+
+
 class TestSponge:
     def test_host_vs_batched(self):
         n, k = 5, 37  # odd width exercises tail packing

@@ -35,6 +35,18 @@ class TestPermutation:
                 want = poseidon2.permute_host([int(v) for v in states[i]])
                 assert [int(v) for v in got[i]] == want, f"width {width} row {i}"
 
+    def test_lane_layout_matches_stacked(self, monkeypatch):
+        """TPU lane layout == CPU stacked layout (lane path needs explicit
+        coverage since the suite runs on CPU)."""
+        for width in (16, 24):
+            states = RNG.integers(0, bb.P, size=(5, width)).astype(np.uint32)
+            dev = jnp.asarray(bb.np_to_monty(states))
+            monkeypatch.setenv("TPU_STARK_POSEIDON2_LAYOUT", "stacked")
+            stacked = np.asarray(poseidon2.permute_batched(dev))
+            monkeypatch.setenv("TPU_STARK_POSEIDON2_LAYOUT", "lanes")
+            lanes = np.asarray(poseidon2.permute_batched(dev))
+            np.testing.assert_array_equal(lanes, stacked)
+
     def test_permutation_is_injective_on_samples(self):
         states = RNG.integers(0, bb.P, size=(64, 16)).astype(np.uint32)
         outs = {tuple(poseidon2.permute_host([int(v) for v in row])) for row in states}

@@ -23,9 +23,9 @@ vectors (see tests/test_hash.py).
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,12 +114,23 @@ def _keccak256_py(data: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# Batched jnp permutation: u64 lanes as (lo, hi) uint32 pairs, lanes axis last.
+# Batched jnp permutation — TWO layouts, dispatched per backend (OPT-0008):
 #
-# The 24 rounds run under ``lax.fori_loop`` (compact traced graph — the
-# unrolled form blows up XLA compile time), with rho/pi expressed as one
-# static gather + vectorized per-lane rotations: compiler-friendly control
-# flow per the XLA semantics rules.
+# * "lanes" (TPU default): the 25 u64 lanes live as SEPARATE (lo, hi) uint32
+#   arrays.  The batch (Merkle-leaf) axis fills the VPU's 8x128 vector lanes
+#   at full occupancy, and rho/pi becomes a STATIC relabeling of Python list
+#   slots (zero gathers, zero `where` masks; every rotation amount is a
+#   compile-time constant so each is 2 shifts + 1 or).  The 24 rounds run as
+#   a ``lax.scan`` unrolled UNROLL rounds per step: each step is one big
+#   elementwise DAG that XLA:TPU fuses into a single loop fusion, so the
+#   50-array state round-trips HBM 24/UNROLL times per permutation instead
+#   of 24 (measured 9x over the stacked form at UNROLL=24; see
+#   docs/optimization_attempts.md OPT-0008).
+# * "stacked" (CPU default): one (..., 25) array per half, rounds under
+#   ``lax.fori_loop`` with rho/pi as a static gather.  XLA:CPU (LLVM)
+#   compiles the 50-array lane form ~2.4x slower PER SHAPE, and a prove
+#   compiles hash kernels at dozens of Merkle-level shapes — the stacked
+#   form keeps the CPU/test path fast to compile.
 # ---------------------------------------------------------------------------
 LanePair = Tuple[jnp.ndarray, jnp.ndarray]  # (lo, hi), identical shapes
 
@@ -137,7 +148,101 @@ _RC_LO = np.array([rc & 0xFFFFFFFF for rc in ROUND_CONSTANTS], dtype=np.uint32)
 _RC_HI = np.array([rc >> 32 for rc in ROUND_CONSTANTS], dtype=np.uint32)
 
 
-def _keccak_round(i, state):
+def _rotl_pair(lo, hi, r: int) -> LanePair:
+    """64-bit rotl of a (lo, hi) uint32 pair by a compile-time constant."""
+    r %= 64
+    if r >= 32:
+        lo, hi = hi, lo
+        r -= 32
+    if r == 0:
+        return lo, hi
+    rl = np.uint32(r)
+    rr = np.uint32(32 - r)
+    return (lo << rl) | (hi >> rr), (hi << rl) | (lo >> rr)
+
+
+def _round_static(lo, hi, rc_lo, rc_hi):
+    """One Keccak round over 25 separate (lo, hi) lane arrays; rho/pi is a
+    static list relabeling. ``rc_lo``/``rc_hi`` are the iota constants
+    (host np.uint32 or traced scalars)."""
+    # theta
+    c = [
+        (
+            lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20],
+            hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20],
+        )
+        for x in range(5)
+    ]
+    d = []
+    for x in range(5):
+        r_lo, r_hi = _rotl_pair(c[(x + 1) % 5][0], c[(x + 1) % 5][1], 1)
+        d.append((c[(x - 1) % 5][0] ^ r_lo, c[(x - 1) % 5][1] ^ r_hi))
+    lo = [lo[i] ^ d[i % 5][0] for i in range(25)]
+    hi = [hi[i] ^ d[i % 5][1] for i in range(25)]
+    # rho + pi
+    b_lo: List = [None] * 25
+    b_hi: List = [None] * 25
+    for j in range(25):
+        b_lo[j], b_hi[j] = _rotl_pair(lo[_SRC[j]], hi[_SRC[j]], int(_ROTJ[j]))
+    # chi
+    for y in range(0, 25, 5):
+        row_lo = b_lo[y : y + 5]
+        row_hi = b_hi[y : y + 5]
+        for x in range(5):
+            lo[y + x] = row_lo[x] ^ (~row_lo[(x + 1) % 5] & row_lo[(x + 2) % 5])
+            hi[y + x] = row_hi[x] ^ (~row_hi[(x + 1) % 5] & row_hi[(x + 2) % 5])
+    # iota
+    lo[0] = lo[0] ^ rc_lo
+    hi[0] = hi[0] ^ rc_hi
+    return lo, hi
+
+
+def _default_unroll() -> int:
+    """Rounds per traced scan step in the lane layout.  XLA-CPU (LLVM)
+    compiles the big unrolled basic blocks pathologically slowly (measured:
+    2s at unroll=1, 26s at 4, 98s at 8 for ONE shape); the TPU (Mosaic)
+    compiler handles the full unroll and rewards it with maximal fusion.
+    Override with TPU_STARK_KECCAK_UNROLL."""
+    env = os.environ.get("TPU_STARK_KECCAK_UNROLL")
+    if env:
+        return int(env)
+    import jax
+
+    return 1 if jax.default_backend() == "cpu" else 24
+
+
+def _use_lane_layout() -> bool:
+    """Lane layout on accelerators, stacked on CPU (see rationale above).
+    Override with TPU_STARK_KECCAK_LAYOUT=lanes|stacked."""
+    env = os.environ.get("TPU_STARK_KECCAK_LAYOUT")
+    if env:
+        return env == "lanes"
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def _keccak_f_lanes(lanes: List[LanePair]) -> List[LanePair]:
+    import jax
+
+    lo = tuple(p[0] for p in lanes)
+    hi = tuple(p[1] for p in lanes)
+
+    def body(carry, rcs):
+        clo, chi = carry
+        clo, chi = _round_static(list(clo), list(chi), rcs[0], rcs[1])
+        return (tuple(clo), tuple(chi)), None
+
+    (lo, hi), _ = jax.lax.scan(
+        body,
+        (lo, hi),
+        (jnp.asarray(_RC_LO), jnp.asarray(_RC_HI)),
+        unroll=_default_unroll(),
+    )
+    return [(lo[i], hi[i]) for i in range(25)]
+
+
+def _keccak_round_stacked(i, state):
     lo, hi = state  # (..., 25)
     g_lo = lo.reshape(lo.shape[:-1] + (5, 5))  # [..., y, x]
     g_hi = hi.reshape(hi.shape[:-1] + (5, 5))
@@ -179,15 +284,25 @@ def _keccak_round(i, state):
     return lo, hi
 
 
-def keccak_f_batched_arrays(lo: jnp.ndarray, hi: jnp.ndarray):
-    """Keccak-f[1600]: state as (..., 25) uint32 (lo, hi) arrays; arbitrary
-    leading batch shape (= Merkle leaves on the VPU)."""
-    return jax.lax.fori_loop(0, 24, _keccak_round, (lo, hi))
-
-
 def keccak_f_batched(lanes: List[LanePair]) -> List[LanePair]:
-    """Compatibility wrapper over lane-pair lists (shared batch shape)."""
+    """Keccak-f[1600] over 25 (lo, hi) uint32 lane-pair arrays (shared batch
+    shape = Merkle leaves on the VPU); layout dispatch per backend, see
+    rationale above."""
+    import jax
+
+    if _use_lane_layout():
+        return _keccak_f_lanes(lanes)
     lo = jnp.stack([p[0] for p in lanes], axis=-1)
     hi = jnp.stack([p[1] for p in lanes], axis=-1)
-    lo, hi = keccak_f_batched_arrays(lo, hi)
+    lo, hi = jax.lax.fori_loop(0, 24, _keccak_round_stacked, (lo, hi))
     return [(lo[..., i], hi[..., i]) for i in range(25)]
+
+
+def keccak_f_batched_arrays(lo: jnp.ndarray, hi: jnp.ndarray):
+    """Compatibility wrapper: state as (..., 25) uint32 (lo, hi) arrays."""
+    lanes = [(lo[..., i], hi[..., i]) for i in range(25)]
+    out = keccak_f_batched(lanes)
+    return (
+        jnp.stack([p[0] for p in out], axis=-1),
+        jnp.stack([p[1] for p in out], axis=-1),
+    )

@@ -82,12 +82,49 @@ def _zeros_state(batch_shape) -> List[LanePair]:
     return [(z, z) for _ in range(WIDTH)]
 
 
+# Wide rows (many rate-chunks, e.g. keccak-air's 3608-column trace) absorb
+# under lax.scan so the traced graph stays one unrolled permutation instead
+# of one per chunk; narrow rows unroll the chunk loop too (maximal fusion).
+_SCAN_MIN_CHUNKS = 4
+
+
 def sponge_hash_u64s_batched(items: Sequence[LanePair]) -> List[LanePair]:
     """Batched PaddingFreeSponge: `items` is a sequence of (lo, hi) uint32
     array pairs (one u64 item each, shared batch shape). Returns 4 lane pairs."""
     assert items, "empty sponge input"
+    import jax
+
     batch_shape = items[0][0].shape
     state = _zeros_state(batch_shape)
+    items = list(items)
+    n_full = len(items) // RATE
+    if n_full >= _SCAN_MIN_CHUNKS:
+        lo_stack = jnp.stack(
+            [items[k][0] for k in range(n_full * RATE)]
+        ).reshape((n_full, RATE) + batch_shape)
+        hi_stack = jnp.stack(
+            [items[k][1] for k in range(n_full * RATE)]
+        ).reshape((n_full, RATE) + batch_shape)
+
+        def body(carry, chunk):
+            lo, hi = carry
+            c_lo, c_hi = chunk
+            lanes = [(c_lo[i], c_hi[i]) for i in range(RATE)] + [
+                (lo[i], hi[i]) for i in range(RATE, WIDTH)
+            ]
+            out = keccak.keccak_f_batched(lanes)
+            return (
+                tuple(p[0] for p in out),
+                tuple(p[1] for p in out),
+            ), None
+
+        init = (
+            tuple(p[0] for p in state),
+            tuple(p[1] for p in state),
+        )
+        (lo_t, hi_t), _ = jax.lax.scan(body, init, (lo_stack, hi_stack))
+        state = [(lo_t[i], hi_t[i]) for i in range(WIDTH)]
+        items = items[n_full * RATE :]
     for off in range(0, len(items), RATE):
         chunk = items[off : off + RATE]
         for i, v in enumerate(chunk):
