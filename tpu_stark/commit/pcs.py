@@ -91,6 +91,18 @@ _COL_CHUNK = 64  # bounds the (H, chunk, 4) intermediates (wide AIRs at 2^20+
 # rows would otherwise materialize multi-GB products and OOM HBM)
 
 
+def _chunk_for(w: int) -> int:
+    """Column-chunk width: cap at _COL_CHUNK but never pad a narrow matrix up
+    to it — fib's 2-column trace at 2^22 LDE rows padded to 64 cols costs a
+    32x blowup (measured: 32 GB of (H, 64, 4) intermediates, HBM OOM)."""
+    return min(_COL_CHUNK, max(8, -(-w // 8) * 8))
+
+
+_ROW_BLOCK = 1 << 20  # rows per sequential block in eval/combine: bounds the
+# (block, chunk, 4) intermediate at ~1 GB regardless of trace height, so the
+# open phase scales to the 2^24-row north-star target (2^26 LDE rows)
+
+
 def _pad_cols(mat: jnp.ndarray, multiple: int) -> jnp.ndarray:
     w = mat.shape[1]
     pad = (-w) % multiple
@@ -105,18 +117,31 @@ def _pad_cols(mat: jnp.ndarray, multiple: int) -> jnp.ndarray:
 @jax.jit
 def _eval_at_point(r_coeffs: jnp.ndarray, zpow: jnp.ndarray) -> jnp.ndarray:
     """r(z) for every column: (H, w) base coeffs x (H, 4) ext powers -> (w, 4).
-    Sequential column chunks (lax.map) bound peak memory."""
+    Sequential over row blocks (scan) and column chunks (lax.map) — peak
+    memory is one (block, chunk, 4) product regardless of H or w."""
     h, w = r_coeffs.shape
-    rc = _pad_cols(r_coeffs, _COL_CHUNK)
+    ch = _chunk_for(w)
+    rc = _pad_cols(r_coeffs, ch)
     wp = rc.shape[1]
-    chunks = rc.reshape(h, wp // _COL_CHUNK, _COL_CHUNK).transpose(1, 0, 2)
+    k = wp // ch
+    b = min(h, _ROW_BLOCK)
+    nb = h // b
+    rc_blocks = rc.reshape(nb, b, k, ch).transpose(0, 2, 1, 3)  # (nb, k, b, ch)
+    zp_blocks = zpow.reshape(nb, b, 4)
 
-    def body(chunk):  # (H, CH) -> (CH, 4)
-        prod = bb.mul(chunk[:, :, None], zpow[:, None, :])
-        return bb.sum_mod(prod, axis=0)
+    def blk(carry, xs):
+        rcb, zpb = xs  # (k, b, ch), (b, 4)
 
-    out = jax.lax.map(body, chunks)  # (k, CH, 4)
-    return out.reshape(wp, 4)[:w]
+        def col(chunk):  # (b, ch) -> (ch, 4)
+            prod = bb.mul(chunk[:, :, None], zpb[:, None, :])
+            return bb.sum_mod(prod, axis=0)
+
+        part = jax.lax.map(col, rcb)  # (k, ch, 4)
+        return bb.add(carry, part), None
+
+    init = jnp.zeros((k, ch, 4), dtype=bb.u32)
+    acc, _ = jax.lax.scan(blk, init, (rc_blocks, zp_blocks))
+    return acc.reshape(wp, 4)[:w]
 
 
 def _ext_scale_rows(ext_vec: jnp.ndarray, base_vec: jnp.ndarray) -> jnp.ndarray:
@@ -534,23 +559,30 @@ def _alpha_pows_dev(alpha: ExtPoint, offset: int, w: int) -> jnp.ndarray:
 @jax.jit
 def _combine_columns(mat_br: jnp.ndarray, apows: jnp.ndarray) -> jnp.ndarray:
     """sum_col alpha^(off+col) * y_col(x): (H, w) x (w, 4) -> (H, 4) ext.
-    Sequential column-chunk scan bounds peak memory for wide matrices."""
+    Sequential over row blocks (lax.map) and column chunks (scan) — peak
+    memory is one (block, chunk, 4) product regardless of H or w."""
     h, w = mat_br.shape
-    mp = _pad_cols(mat_br, _COL_CHUNK)
+    ch = _chunk_for(w)
+    mp = _pad_cols(mat_br, ch)
     ap = jnp.concatenate(
         [apows, jnp.zeros((mp.shape[1] - w, 4), dtype=apows.dtype)], axis=0
     )
-    k = mp.shape[1] // _COL_CHUNK
-    m_chunks = mp.reshape(h, k, _COL_CHUNK).transpose(1, 0, 2)
-    a_chunks = ap.reshape(k, _COL_CHUNK, 4)
+    k = mp.shape[1] // ch
+    b = min(h, _ROW_BLOCK)
+    nb = h // b
+    m_blocks = mp.reshape(nb, b, k, ch).transpose(0, 2, 1, 3)  # (nb, k, b, ch)
+    a_chunks = ap.reshape(k, ch, 4)
 
-    def body(carry, xs):
-        m, a = xs
-        contrib = bb.sum_mod(ext4.mul_base(a[None, :, :], m), axis=1)
-        return ext4.add(carry, contrib), None
+    def rowblk(mb):  # (k, b, ch) -> (b, 4)
+        def body(carry, xs):
+            m, a = xs  # (b, ch), (ch, 4)
+            contrib = bb.sum_mod(ext4.mul_base(a[None, :, :], m), axis=1)
+            return ext4.add(carry, contrib), None
 
-    acc, _ = jax.lax.scan(body, ext4.zero((h,)), (m_chunks, a_chunks))
-    return acc
+        acc, _ = jax.lax.scan(body, ext4.zero((b,)), (mb, a_chunks))
+        return acc
+
+    return jax.lax.map(rowblk, m_blocks).reshape(h, 4)
 
 
 @jax.jit

@@ -120,11 +120,9 @@ def _keccak256_py(data: bytes) -> bytes:
 #   arrays.  The batch (Merkle-leaf) axis fills the VPU's 8x128 vector lanes
 #   at full occupancy, and rho/pi becomes a STATIC relabeling of Python list
 #   slots (zero gathers, zero `where` masks; every rotation amount is a
-#   compile-time constant so each is 2 shifts + 1 or).  The 24 rounds run as
-#   a ``lax.scan`` unrolled UNROLL rounds per step: each step is one big
-#   elementwise DAG that XLA:TPU fuses into a single loop fusion, so the
-#   50-array state round-trips HBM 24/UNROLL times per permutation instead
-#   of 24 (measured 9x over the stacked form at UNROLL=24; see
+#   compile-time constant so each is 2 shifts + 1 or).  The 24 rounds run
+#   under ``lax.scan`` (unroll configurable; measured flat 1..24 on TPU —
+#   the ~10x OPT-0008 win comes from the layout itself; see
 #   docs/optimization_attempts.md OPT-0008).
 # * "stacked" (CPU default): one (..., 25) array per half, rounds under
 #   ``lax.fori_loop`` with rho/pi as a static gather.  XLA:CPU (LLVM)
@@ -198,17 +196,16 @@ def _round_static(lo, hi, rc_lo, rc_hi):
 
 
 def _default_unroll() -> int:
-    """Rounds per traced scan step in the lane layout.  XLA-CPU (LLVM)
-    compiles the big unrolled basic blocks pathologically slowly (measured:
-    2s at unroll=1, 26s at 4, 98s at 8 for ONE shape); the TPU (Mosaic)
-    compiler handles the full unroll and rewards it with maximal fusion.
-    Override with TPU_STARK_KECCAK_UNROLL."""
+    """Rounds per traced scan step in the lane layout.  Measured on 1x v5e
+    (N=2^20): unroll 1/4/8/24 all land within noise (30.3/28.9/27.4/28.6
+    Mperm/s) — the OPT-0008 win is the lane layout, not the unroll — while
+    TPU compile time rises 5.2s -> 13.2s per shape (and a prove compiles
+    every Merkle-layer shape).  XLA-CPU is far worse (minutes at unroll>=8).
+    Default rolled; override with TPU_STARK_KECCAK_UNROLL."""
     env = os.environ.get("TPU_STARK_KECCAK_UNROLL")
     if env:
         return int(env)
-    import jax
-
-    return 1 if jax.default_backend() == "cpu" else 24
+    return 1
 
 
 def _use_lane_layout() -> bool:
