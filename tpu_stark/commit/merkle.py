@@ -108,36 +108,52 @@ class MerkleTreeMmcs:
 
     # -- open --------------------------------------------------------------
     def open_batch(self, index: int, data: ProverData) -> BatchOpening:
+        return self.open_batch_many([index], data)[0]
+
+    def open_batch_many(
+        self, indices: Sequence[int], data: ProverData
+    ) -> List[BatchOpening]:
+        """Open many query indices with ONE host<->device transfer.  FRI
+        query indices never feed back into the transcript, so all queries'
+        rows + sibling paths batch into a single device_get — per-query
+        fetches cost one ~30 ms tunnel round trip EACH (measured; ~100
+        queries x (rounds + fold levels) syncs dominated pcs.open)."""
         max_h = max(int(m.shape[0]) for m in data.matrices)
         log_max = log2_strict(max_h)
-        fetch: List = []  # device values gathered into ONE transfer
+        idx_np = np.asarray(list(indices), dtype=np.int64)
+        fetch: List = []  # one vectorized gather per matrix/salt/layer,
+        # all resolved in ONE device_get
         for k, m in enumerate(data.matrices):
             h = int(m.shape[0])
-            row_idx = index >> (log_max - log2_strict(h))
-            fetch.append(bb.to_u32(m[row_idx]))
+            rows = jnp.asarray(idx_np >> (log_max - log2_strict(h)))
+            fetch.append(bb.to_u32(m[rows]))  # (Q, w)
             if data.salts is not None:
-                fetch.append(bb.to_u32(data.salts[k][row_idx]))
-        idx = index
+                fetch.append(bb.to_u32(data.salts[k][rows]))
+        cur = idx_np
         for l in range(log_max):
-            fetch.append(data.layers[l][idx ^ 1])
-            idx >>= 1
+            fetch.append(data.layers[l][jnp.asarray(cur ^ 1)])  # (Q, 4, 2)
+            cur = cur >> 1
         host = jax.device_get(fetch)
-        opened, opened_salts = [], [] if data.salts is not None else None
-        pos = 0
-        for _ in data.matrices:
-            opened.append(np.array(host[pos]))
-            pos += 1
-            if opened_salts is not None:
-                opened_salts.append(np.array(host[pos]))
+        out: List[BatchOpening] = []
+        n_mat = len(data.matrices)
+        stride = n_mat * (2 if data.salts is not None else 1)
+        for q in range(len(idx_np)):
+            opened, opened_salts = [], [] if data.salts is not None else None
+            pos = 0
+            for _ in data.matrices:
+                opened.append(np.array(host[pos][q]))
                 pos += 1
-        proof = []
-        for _ in range(log_max):
-            row = host[pos]
-            pos += 1
-            proof.append(
-                tuple(int(row[j, 0]) | (int(row[j, 1]) << 32) for j in range(4))
-            )
-        return BatchOpening(opened, opened_salts, proof)
+                if opened_salts is not None:
+                    opened_salts.append(np.array(host[pos][q]))
+                    pos += 1
+            proof = []
+            for l in range(log_max):
+                row = host[stride + l][q]
+                proof.append(
+                    tuple(int(row[j, 0]) | (int(row[j, 1]) << 32) for j in range(4))
+                )
+            out.append(BatchOpening(opened, opened_salts, proof))
+        return out
 
     # -- verify (host, per query) -----------------------------------------
     def verify_batch(

@@ -180,24 +180,45 @@ class TwoAdicFriPcs:
         self, domains_and_evals: Sequence[Tuple[TwoAdicCoset, jnp.ndarray]]
     ) -> Tuple[Digest, PcsProverData]:
         """Commit bit-reversed coset LDEs of the given evaluation matrices
-        (Monty device arrays, natural row order on their domain)."""
-        ldes_br, r_coeffs, domains, widths = [], [], [], []
-        for domain, evals in domains_and_evals:
-            h, w = int(evals.shape[0]), int(evals.shape[1])
-            assert h == domain.size, "evals height must match domain size"
+        (Monty device arrays, natural row order on their domain).
+
+        Matrices on the SAME domain run their iNTT/NTT as one wide batch
+        (the quotient commit is 2^log_qd same-height narrow chunks; one
+        (h, sum_w) transform fills the VPU lanes that 4 separate (h, 4)
+        transforms waste) and are split back per matrix for the MMCS."""
+        items = list(domains_and_evals)
+        ldes_br: List[Optional[jnp.ndarray]] = [None] * len(items)
+        r_coeffs: List[Optional[jnp.ndarray]] = [None] * len(items)
+        domains = [d for d, _ in items]
+        widths = [int(e.shape[1]) for _, e in items]
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for k, (domain, evals) in enumerate(items):
+            assert int(evals.shape[0]) == domain.size, "evals height mismatch"
+            groups.setdefault((domain.log_n, domain.shift), []).append(k)
+        for (log_n, shift), ks in groups.items():
+            h = 1 << log_n
             lde_h = h << self.fri.log_blowup
+            wide = (
+                items[ks[0]][1]
+                if len(ks) == 1
+                else jnp.concatenate([items[k][1] for k in ks], axis=1)
+            )
             # q(y) = p(shift * y); committed codeword = q on (GEN/shift)*K,
             # relabeled to plain frame r(y) with r = q(sigma * y).
-            sigma = (bb.GENERATOR * rf.finv(domain.shift)) % bb.P
-            q_coeffs = self.dft.idft_batch(evals)
+            sigma = (bb.GENERATOR * rf.finv(shift)) % bb.P
+            q_coeffs = self.dft.idft_batch(wide)
             sig_pows = bb.powers_monty(sigma, h)
             r_small = bb.mul(q_coeffs, sig_pows[:, None])
-            r_pad = jnp.zeros((lde_h, w), dtype=bb.u32).at[:h].set(r_small)
-            codeword = self.dft.dft_batch(r_pad)  # r on K_{lde_h}, natural
-            ldes_br.append(reverse_matrix_index_bits(codeword))
-            r_coeffs.append(r_pad)
-            domains.append(domain)
-            widths.append(w)
+            r_pad = jnp.zeros((lde_h, wide.shape[1]), dtype=bb.u32).at[:h].set(
+                r_small
+            )
+            codeword_br = reverse_matrix_index_bits(self.dft.dft_batch(r_pad))
+            off = 0
+            for k in ks:
+                w = widths[k]
+                ldes_br[k] = codeword_br[:, off : off + w]
+                r_coeffs[k] = r_pad[:, off : off + w]
+                off += w
         root, merkle_data = self.val_mmcs.commit(ldes_br)
         return root, PcsProverData(merkle_data, r_coeffs, domains, widths)
 
@@ -346,25 +367,32 @@ class TwoAdicFriPcs:
         # 4. Proof of work.
         pow_witness = challenger.grind(fri.proof_of_work_bits)
 
-        # 5. Queries.
-        query_proofs = []
-        for _ in range(fri.num_queries):
-            index = challenger.sample_bits(log_max)
-            input_openings = []
-            for data, _pts in rounds:
-                r_max = max(int(m.shape[0]) for m in data.merkle.matrices)
-                shift_bits = log_max - log2_strict(r_max)
-                input_openings.append(
-                    self.val_mmcs.open_batch(index >> shift_bits, data.merkle)
+        # 5. Queries — indices first (transcript order unchanged), then all
+        # openings fetched with one transfer per tree (open_batch_many).
+        indices = [challenger.sample_bits(log_max) for _ in range(fri.num_queries)]
+        round_openings = []
+        for data, _pts in rounds:
+            r_max = max(int(m.shape[0]) for m in data.merkle.matrices)
+            shift_bits = log_max - log2_strict(r_max)
+            round_openings.append(
+                self.val_mmcs.open_batch_many(
+                    [i >> shift_bits for i in indices], data.merkle
                 )
-            cp_openings = []
-            idx = index
-            for c_data in commit_phase_data:
-                cp_openings.append(
-                    CommitPhaseStep(self.challenge_mmcs.open_batch(idx >> 1, c_data))
-                )
-                idx >>= 1
-            query_proofs.append(QueryProof(input_openings, cp_openings))
+            )
+        cp_level_openings = []
+        idxs = list(indices)
+        for c_data in commit_phase_data:
+            cp_level_openings.append(
+                self.challenge_mmcs.open_batch_many([i >> 1 for i in idxs], c_data)
+            )
+            idxs = [i >> 1 for i in idxs]
+        query_proofs = [
+            QueryProof(
+                [ro[q] for ro in round_openings],
+                [CommitPhaseStep(lv[q]) for lv in cp_level_openings],
+            )
+            for q in range(fri.num_queries)
+        ]
 
         return opened_values, FriProof(
             commit_phase_commits, query_proofs, final_poly, pow_witness,

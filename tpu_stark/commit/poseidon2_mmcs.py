@@ -177,38 +177,53 @@ class Poseidon2Mmcs:
         return root, ProverData(matrices, salts, layers, root)
 
     def open_batch(self, index: int, data: ProverData) -> BatchOpening:
+        return self.open_batch_many([index], data)[0]
+
+    def open_batch_many(
+        self, indices: Sequence[int], data: ProverData
+    ) -> List[BatchOpening]:
+        """All queries' rows + sibling digests in ONE transfer, one
+        vectorized gather per matrix/salt/layer (same rationale as
+        merkle.MerkleTreeMmcs.open_batch_many: per-query fetches cost one
+        tunnel round trip each)."""
         max_h = max(int(m.shape[0]) for m in data.matrices)
         log_max = log2_strict(max_h)
+        idx_np = np.asarray(list(indices), dtype=np.int64)
         fetch: List = []
         for k, m in enumerate(data.matrices):
             h = int(m.shape[0])
-            ri = index >> (log_max - log2_strict(h))
-            fetch.append(bb.to_u32(m[ri]))
+            rows = jnp.asarray(idx_np >> (log_max - log2_strict(h)))
+            fetch.append(bb.to_u32(m[rows]))
             if data.salts is not None:
-                fetch.append(bb.to_u32(data.salts[k][ri]))
-        idx = index
+                fetch.append(bb.to_u32(data.salts[k][rows]))
+        cur = idx_np
         for l in range(log_max):
             layer = data.layers[l]
+            sib = cur ^ 1
             fetch.append(
-                layer[idx ^ 1]
+                layer[sib]
                 if isinstance(layer, np.ndarray)
-                else bb.to_u32(layer[idx ^ 1])
+                else bb.to_u32(layer[jnp.asarray(sib)])
             )
-            idx >>= 1
+            cur = cur >> 1
         host = jax.device_get(fetch)
-        opened, opened_salts = [], [] if data.salts is not None else None
-        pos = 0
-        for _ in data.matrices:
-            opened.append(np.array(host[pos]))
-            pos += 1
-            if opened_salts is not None:
-                opened_salts.append(np.array(host[pos]))
+        out: List[BatchOpening] = []
+        n_salt = 2 if data.salts is not None else 1
+        stride = len(data.matrices) * n_salt
+        for q in range(len(idx_np)):
+            opened, opened_salts = [], [] if data.salts is not None else None
+            pos = 0
+            for _ in data.matrices:
+                opened.append(np.array(host[pos][q]))
                 pos += 1
-        proof = []
-        for _ in range(log_max):
-            proof.append(tuple(int(v) for v in host[pos]))
-            pos += 1
-        return BatchOpening(opened, opened_salts, proof)
+                if opened_salts is not None:
+                    opened_salts.append(np.array(host[pos][q]))
+                    pos += 1
+            proof = []
+            for l in range(log_max):
+                proof.append(tuple(int(v) for v in host[stride + l][q]))
+            out.append(BatchOpening(opened, opened_salts, proof))
+        return out
 
     def verify_batch(
         self,

@@ -27,6 +27,7 @@ out), columns = independent polynomials.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +72,26 @@ def _dit_core(log_h: int, x: jnp.ndarray, *twiddles: jnp.ndarray) -> jnp.ndarray
     return x
 
 
+_NARROW_MAX_W = 8
+_NARROW_MIN_LOGH = 18
+
+
+def _use_mxu_narrow(h: int, w: int) -> bool:
+    """Tall-narrow inputs (a 2-column trace at 2^22 rows) leave the VPU's
+    128-lane minor axis ~empty in the stage loop (measured 0.1% SoL); the
+    MXU 4-step path reshapes the length into wide sub-batches and measured
+    2.6x faster at (2^22, 2).  Accelerators only; override with
+    TPU_STARK_NTT_NARROW=0/1."""
+    env = os.environ.get("TPU_STARK_NTT_NARROW")
+    if env is not None:
+        return env not in ("0", "false")
+    if w > _NARROW_MAX_W or h < (1 << _NARROW_MIN_LOGH):
+        return False
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def dft_batch(mat: jnp.ndarray) -> jnp.ndarray:
     """NTT of each column: out[i] = sum_j mat[j] * g^(i*j), g = generator of
     the order-h subgroup; natural-order rows in and out (p3 Radix2Dit
@@ -78,6 +99,10 @@ def dft_batch(mat: jnp.ndarray) -> jnp.ndarray:
     log_h = log2_strict(mat.shape[0])
     if log_h == 0:
         return mat
+    if _use_mxu_narrow(mat.shape[0], mat.shape[1]):
+        from . import mxu_ntt
+
+        return mxu_ntt.dft_batch(mat, use_pallas=True)
     return _dit_core(log_h, mat, *_stage_twiddles(log_h, False))
 
 
@@ -87,6 +112,10 @@ def idft_batch(mat: jnp.ndarray) -> jnp.ndarray:
     log_h = log2_strict(h)
     if log_h == 0:
         return mat
+    if _use_mxu_narrow(h, mat.shape[1]):
+        from . import mxu_ntt
+
+        return mxu_ntt.idft_batch(mat, use_pallas=True)
     out = _dit_core(log_h, mat, *_stage_twiddles(log_h, True))
     h_inv = bb.monty_scalar(pow(h, bb.P - 2, bb.P))
     return bb.mul(out, h_inv)
