@@ -247,6 +247,18 @@ class TwoAdicFriPcs:
         rounds: Sequence[Tuple[PcsProverData, List[List[ExtPoint]]]],
         challenger: Challenger,
     ) -> Tuple[OpenedValues, FriProof]:
+        import os
+        import time
+
+        timing = os.environ.get("TPU_STARK_TIMING") == "1"
+        t_last = [time.perf_counter()]
+
+        def mark(step: str) -> None:
+            if timing:
+                now = time.perf_counter()
+                print(f"[open]   {step}: {now - t_last[0]:.3f}s", flush=True)
+                t_last[0] = now
+
         fri = self.fri
         rounds = list(rounds)
 
@@ -268,6 +280,7 @@ class TwoAdicFriPcs:
             rounds.append((r_data, [[]]))
         else:
             random_commit = None
+        mark("random codeword commit")
 
         # 1. Out-of-domain values at z_y = zeta / GENERATOR, observed in order.
         gen_inv = rf.finv(bb.GENERATOR)
@@ -297,6 +310,7 @@ class TwoAdicFriPcs:
                         challenger.observe_u32s(val)
 
         alpha = challenger.sample_ext()
+        mark("out-of-domain evals")
 
         # 2. Reduced openings per log-height (bit-reversed plain-frame).
         ro: Dict[int, jnp.ndarray] = {}
@@ -328,6 +342,8 @@ class TwoAdicFriPcs:
                     )
                     ro[log_h] = ext4.add(ro[log_h], contrib)
                     alpha_counter[log_h] += w
+
+        mark("reduced openings (queued)")
 
         # 3. FRI commit phase.
         log_max = max(ro)
@@ -364,8 +380,11 @@ class TwoAdicFriPcs:
         for coeff in final_poly:
             challenger.observe_u32s(coeff)
 
+        mark("FRI folds + final poly")
+
         # 4. Proof of work.
         pow_witness = challenger.grind(fri.proof_of_work_bits)
+        mark("PoW grind")
 
         # 5. Queries — indices first (transcript order unchanged), then all
         # openings fetched with one transfer per tree (open_batch_many).
@@ -393,6 +412,8 @@ class TwoAdicFriPcs:
             )
             for q in range(fri.num_queries)
         ]
+
+        mark("query openings")
 
         return opened_values, FriProof(
             commit_phase_commits, query_proofs, final_poly, pow_witness,
