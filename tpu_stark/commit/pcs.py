@@ -186,6 +186,20 @@ class TwoAdicFriPcs:
         (the quotient commit is 2^log_qd same-height narrow chunks; one
         (h, sum_w) transform fills the VPU lanes that 4 separate (h, 4)
         transforms waste) and are split back per matrix for the MMCS."""
+        import os
+        import time
+
+        timing = os.environ.get("TPU_STARK_TIMING") == "1"
+        t_last = [time.perf_counter()]
+
+        def mark(step: str, sync=None) -> None:
+            if timing:
+                if sync is not None:
+                    jax.block_until_ready(sync)
+                now = time.perf_counter()
+                print(f"[commit] {step}: {now - t_last[0]:.3f}s", flush=True)
+                t_last[0] = now
+
         items = list(domains_and_evals)
         ldes_br: List[Optional[jnp.ndarray]] = [None] * len(items)
         r_coeffs: List[Optional[jnp.ndarray]] = [None] * len(items)
@@ -207,19 +221,24 @@ class TwoAdicFriPcs:
             # relabeled to plain frame r(y) with r = q(sigma * y).
             sigma = (bb.GENERATOR * rf.finv(shift)) % bb.P
             q_coeffs = self.dft.idft_batch(wide)
+            mark(f"idft ({h}, {wide.shape[1]})", q_coeffs)
             sig_pows = bb.powers_monty(sigma, h)
             r_small = bb.mul(q_coeffs, sig_pows[:, None])
             r_pad = jnp.zeros((lde_h, wide.shape[1]), dtype=bb.u32).at[:h].set(
                 r_small
             )
-            codeword_br = reverse_matrix_index_bits(self.dft.dft_batch(r_pad))
+            codeword = self.dft.dft_batch(r_pad)
+            mark(f"dft ({lde_h}, {wide.shape[1]})", codeword)
+            codeword_br = reverse_matrix_index_bits(codeword)
             off = 0
             for k in ks:
                 w = widths[k]
                 ldes_br[k] = codeword_br[:, off : off + w]
                 r_coeffs[k] = r_pad[:, off : off + w]
                 off += w
+        mark("bitrev+split")
         root, merkle_data = self.val_mmcs.commit(ldes_br)
+        mark("mmcs tree (salts + layers + root)")
         return root, PcsProverData(merkle_data, r_coeffs, domains, widths)
 
     def get_evaluations_on_domain(
