@@ -33,14 +33,20 @@ def main() -> None:
     pis = [0, 1, x]
     t_tracegen = time.time() - t0
 
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
     air = FibonacciAir()
-    # warm run (compiles), then timed run
+    # warm run (compiles), then `reps` timed runs — the tunnel TPU is shared
+    # infrastructure and individual wall-clocks drift; report every sample,
+    # headline the min (least-contended)
     t0 = time.time()
     proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
     t_first = time.time() - t0
-    t0 = time.time()
-    proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
-    t_prove = time.time() - t0
+    samples = []
+    for _ in range(reps):
+        t0 = time.time()
+        proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
+        samples.append(round(time.time() - t0, 3))
     t0 = time.time()
     ok = verify(create_config(zk=zk, hash=hash_stack), air, proof, pis)
     t_verify = time.time() - t0
@@ -53,8 +59,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"fib_air_{'zk' if zk else 'plain'}_prove_2^{log_n}_{hash_stack}",
-                "value": round(t_prove, 3),
+                "value": min(samples),
                 "unit": "s",
+                "samples": samples,
                 "tracegen_s": round(t_tracegen, 3),
                 "first_run_s": round(t_first, 3),
                 "verify_s": round(t_verify, 3),
