@@ -49,21 +49,27 @@ class TestMxuMatchesRadix2:
 
 class TestNarrowDispatchPolicy:
     def test_thresholds(self, monkeypatch):
+        # default OFF (end-to-end regression, OPT-0011 addendum)
         monkeypatch.delenv("TPU_STARK_NTT_NARROW", raising=False)
-        # CPU backend: policy always off regardless of shape
         assert not radix2._use_mxu_narrow(1 << 22, 2)
-        monkeypatch.setenv("TPU_STARK_NTT_NARROW", "1")
-        assert radix2._use_mxu_narrow(1 << 22, 2)
         monkeypatch.setenv("TPU_STARK_NTT_NARROW", "0")
         assert not radix2._use_mxu_narrow(1 << 22, 2)
+        # opt-in: shape-gated, and never on the CPU backend (the suite runs
+        # on CPU so the accelerator branch itself is exercised on TPU runs)
+        monkeypatch.setenv("TPU_STARK_NTT_NARROW", "1")
+        assert not radix2._use_mxu_narrow(1 << 22, 128)  # too wide
+        assert not radix2._use_mxu_narrow(1 << 10, 2)  # too short
+        import jax
+
+        expected = jax.default_backend() != "cpu"
+        assert radix2._use_mxu_narrow(1 << 22, 2) == expected
 
     def test_forced_narrow_path_matches(self, monkeypatch):
         """Force the dispatch on (CPU-safe: XLA matmul variant) and check the
         public dft_batch output is unchanged."""
         mat = _rand(1024, 2)
         want = np.asarray(radix2.dft_batch(mat))
-        monkeypatch.setenv("TPU_STARK_NTT_NARROW", "1")
-        monkeypatch.setattr(radix2, "_NARROW_MIN_LOGH", 10)
+        monkeypatch.setattr(radix2, "_use_mxu_narrow", lambda h, w: True)
         # on CPU use_pallas would fail; patch mxu entry to the XLA variant
         import tpu_stark.ntt.mxu_ntt as m
 

@@ -77,14 +77,15 @@ _NARROW_MIN_LOGH = 18
 
 
 def _use_mxu_narrow(h: int, w: int) -> bool:
-    """Tall-narrow inputs (a 2-column trace at 2^22 rows) leave the VPU's
-    128-lane minor axis ~empty in the stage loop (measured 0.1% SoL); the
-    MXU 4-step path reshapes the length into wide sub-batches and measured
-    2.6x faster at (2^22, 2).  Accelerators only; override with
-    TPU_STARK_NTT_NARROW=0/1."""
+    """Opt-in (TPU_STARK_NTT_NARROW=1) reroute of tall-narrow inputs to the
+    MXU 4-step path.  The chained micro-benchmark favors it 2.6x at
+    (2^22, 2) — the stage loop leaves the VPU's 128-lane minor axis ~empty —
+    but END-TO-END it REGRESSED the 2^20 zk prove 43.2s -> 111.8s (A/B,
+    docs/optimization_attempts.md OPT-0011 addendum), so it stays off by
+    default until the single-call cost is understood."""
     env = os.environ.get("TPU_STARK_NTT_NARROW")
-    if env is not None:
-        return env not in ("0", "false")
+    if env is None or env in ("0", "false"):
+        return False
     if w > _NARROW_MAX_W or h < (1 << _NARROW_MIN_LOGH):
         return False
     import jax
