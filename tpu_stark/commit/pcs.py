@@ -205,11 +205,11 @@ class TwoAdicFriPcs:
         r_coeffs: List[Optional[jnp.ndarray]] = [None] * len(items)
         domains = [d for d, _ in items]
         widths = [int(e.shape[1]) for _, e in items]
-        groups: Dict[Tuple[int, int], List[int]] = {}
+        groups: Dict[int, List[int]] = {}
         for k, (domain, evals) in enumerate(items):
             assert int(evals.shape[0]) == domain.size, "evals height mismatch"
-            groups.setdefault((domain.log_n, domain.shift), []).append(k)
-        for (log_n, shift), ks in groups.items():
+            groups.setdefault(domain.log_n, []).append(k)
+        for log_n, ks in groups.items():
             h = 1 << log_n
             lde_h = h << self.fri.log_blowup
             wide = (
@@ -218,12 +218,28 @@ class TwoAdicFriPcs:
                 else jnp.concatenate([items[k][1] for k in ks], axis=1)
             )
             # q(y) = p(shift * y); committed codeword = q on (GEN/shift)*K,
-            # relabeled to plain frame r(y) with r = q(sigma * y).
-            sigma = (bb.GENERATOR * rf.finv(shift)) % bb.P
+            # relabeled to plain frame r(y) with r = q(sigma * y).  Only the
+            # relabeling scale depends on the domain SHIFT, so matrices on
+            # different cosets of the same size (the quotient chunks'
+            # split_domains) still share both transforms — the scale vector
+            # is per-matrix columnwise.
             q_coeffs = self.dft.idft_batch(wide)
             mark(f"idft ({h}, {wide.shape[1]})", q_coeffs)
-            sig_pows = bb.powers_monty(sigma, h)
-            r_small = bb.mul(q_coeffs, sig_pows[:, None])
+            shifts = [items[k][0].shift for k in ks]
+            if len(set(shifts)) == 1:
+                sigma = (bb.GENERATOR * rf.finv(shifts[0])) % bb.P
+                sig_mat = bb.powers_monty(sigma, h)[:, None]
+            else:
+                cols = []
+                for k in ks:
+                    sigma = (bb.GENERATOR * rf.finv(items[k][0].shift)) % bb.P
+                    cols.append(
+                        jnp.broadcast_to(
+                            bb.powers_monty(sigma, h)[:, None], (h, widths[k])
+                        )
+                    )
+                sig_mat = jnp.concatenate(cols, axis=1)
+            r_small = bb.mul(q_coeffs, sig_mat)
             r_pad = jnp.zeros((lde_h, wide.shape[1]), dtype=bb.u32).at[:h].set(
                 r_small
             )

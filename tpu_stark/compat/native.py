@@ -28,16 +28,20 @@ def _build() -> bool:
         return False
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return True
-    try:
-        subprocess.run(
-            ["cc", "-O3", "-shared", "-fPIC", "-o", so, src],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except Exception:  # noqa: BLE001 — fall back to python
-        return False
+    for flags in (["-O3", "-march=native"], ["-O3"]):
+        # -march=native measured 4.4x on the bulk sampler; fall back when
+        # the toolchain rejects it
+        try:
+            subprocess.run(
+                ["cc", *flags, "-shared", "-fPIC", "-o", so, src],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return True
+        except Exception:  # noqa: BLE001 — try next flag set / python fallback
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
