@@ -27,6 +27,7 @@ Openings/verification are host-side (per-query, tiny — SURVEY.md par7.2
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -99,7 +100,12 @@ class MerkleTreeMmcs:
             if self.sharding is not None:
                 salts = [jax.device_put(s, self.sharding) for s in salts]
 
-        layers = _build_layers(matrices, salts)
+        # GSPMD-sharded commits keep the XLA sponge: pallas_call on a
+        # multi-device global array would force a gather (the sharded tree in
+        # dist/sharded.py runs per-shard inside shard_map where Pallas sees
+        # local shapes and dispatches normally).
+        impl = "xla" if self.sharding is not None else None
+        layers = _build_layers(matrices, salts, impl)
         # layers stay device-resident; query openings fetch the few digests
         # they touch in one batched transfer (open_batch) — eager host
         # conversion of every layer costs hundreds of tunnel round trips
@@ -210,25 +216,27 @@ def gather_if_tiny(arr: jnp.ndarray) -> jnp.ndarray:
     return arr
 
 
-@jax.jit
-def _leaf_layer(*mats):
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _leaf_layer(*mats, impl=None):
     return sponge.hash_field_rows_batched(
-        bb.to_u32(jnp.concatenate(mats, axis=1))
+        bb.to_u32(jnp.concatenate(mats, axis=1)), impl
     )
 
 
-@jax.jit
-def _compress_layer(digests):
-    return sponge.compress_digests_batched(digests[0::2], digests[1::2])
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _compress_layer(digests, impl=None):
+    return sponge.compress_digests_batched(digests[0::2], digests[1::2], impl)
 
 
-@jax.jit
-def _compress_pairwise(a, b):
-    return sponge.compress_digests_batched(a, b)
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _compress_pairwise(a, b, impl=None):
+    return sponge.compress_digests_batched(a, b, impl)
 
 
 def _build_layers(
-    matrices: List[jnp.ndarray], salts: Optional[List[jnp.ndarray]]
+    matrices: List[jnp.ndarray],
+    salts: Optional[List[jnp.ndarray]],
+    impl: Optional[str] = None,
 ) -> List[jnp.ndarray]:
     """Device-side tree build: list of (N_l, 4, 2) digest layers, leaves first.
 
@@ -249,15 +257,17 @@ def _build_layers(
                     mats.append(salts[k])
         groups[h] = mats
     max_h = max(groups)
-    digests = _leaf_layer(*[gather_if_tiny(m) for m in groups[max_h]])
+    digests = _leaf_layer(*[gather_if_tiny(m) for m in groups[max_h]], impl=impl)
     layers = [digests]
     h = max_h
     while h > 1:
         h >>= 1
-        digests = _compress_layer(gather_if_tiny(digests))
+        digests = _compress_layer(gather_if_tiny(digests), impl=impl)
         if h in groups:
             digests = _compress_pairwise(
-                digests, _leaf_layer(*[gather_if_tiny(m) for m in groups[h]])
+                digests,
+                _leaf_layer(*[gather_if_tiny(m) for m in groups[h]], impl=impl),
+                impl=impl,
             )
         layers.append(digests)
     return layers

@@ -58,10 +58,12 @@ def _rotl64(v: int, r: int) -> int:
     return ((v << r) | (v >> (64 - r))) & U64
 
 
-def keccak_f(state: Sequence[int]) -> List[int]:
-    """One Keccak-f[1600] permutation over 25 u64 lanes (flat x + 5y)."""
+def keccak_f(state: Sequence[int], n_rounds: int = 24) -> List[int]:
+    """One Keccak-f[1600] permutation over 25 u64 lanes (flat x + 5y).
+    ``n_rounds`` < 24 is used only as a differential-test oracle for the
+    reduced-round Pallas kernel tests."""
     a = list(state)
-    for rc in ROUND_CONSTANTS:
+    for rc in ROUND_CONSTANTS[:n_rounds]:
         # theta
         c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
         d = [c[(x - 1) % 5] ^ _rotl64(c[(x + 1) % 5], 1) for x in range(5)]

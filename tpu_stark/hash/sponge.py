@@ -18,7 +18,8 @@ the VPU.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence, Tuple
+import os
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -149,15 +150,45 @@ def pack_matrix_rows_to_u64s(mat_u32: jnp.ndarray) -> List[LanePair]:
     return items
 
 
-def hash_field_rows_batched(mat_u32: jnp.ndarray) -> jnp.ndarray:
+def _keccak_impl() -> str:
+    """Merkle-layer sponge implementation: the Pallas kernel (all 24 rounds
+    VMEM-resident; measured 5.3x the XLA scan path at 2^20 leaves on 1x v5e —
+    160 Mleaves/s leaf hash, 163 Mpairs/s compress) on accelerators, the XLA
+    lane/stacked path on CPU (Mosaic is TPU-only).
+    Override with TPU_STARK_KECCAK_IMPL=pallas|xla."""
+    env = os.environ.get("TPU_STARK_KECCAK_IMPL")
+    if env:
+        return env
+    import jax
+
+    return "pallas" if jax.default_backend() != "cpu" else "xla"
+
+
+def hash_field_rows_batched(
+    mat_u32: jnp.ndarray, impl: Optional[str] = None
+) -> jnp.ndarray:
     """Hash each row of an (N, k) canonical-u32 matrix -> (N, 4, 2) uint32
     digests (dim 2 = [lo, hi] of each u64 digest word)."""
+    impl = impl or _keccak_impl()
+    if impl == "pallas":
+        from . import pallas_keccak
+
+        if pallas_keccak.supports(int(mat_u32.shape[0]), int(mat_u32.shape[1])):
+            return pallas_keccak.hash_field_rows(mat_u32)
     out = sponge_hash_u64s_batched(pack_matrix_rows_to_u64s(mat_u32))
     return jnp.stack([jnp.stack([lo, hi], axis=-1) for lo, hi in out], axis=-2)
 
 
-def compress_digests_batched(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+def compress_digests_batched(
+    left: jnp.ndarray, right: jnp.ndarray, impl: Optional[str] = None
+) -> jnp.ndarray:
     """Compress (N, 4, 2) digest arrays pairwise -> (N, 4, 2)."""
+    impl = impl or _keccak_impl()
+    if impl == "pallas":
+        from . import pallas_keccak
+
+        if pallas_keccak.supports(int(left.shape[0]), 16):
+            return pallas_keccak.compress_digests(left, right)
     items = [(left[:, i, 0], left[:, i, 1]) for i in range(OUT)] + [
         (right[:, i, 0], right[:, i, 1]) for i in range(OUT)
     ]
