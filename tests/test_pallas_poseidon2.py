@@ -1,0 +1,119 @@
+"""Differential tests for the Pallas Poseidon2 sponge kernel.
+
+Same strategy as tests/test_pallas_keccak.py: CI runs the kernel in
+interpret mode with REDUCED round counts (the interpreter's cost grows
+superlinearly with kernel size; the full-round permutation is pinned
+bit-exactly by tests/test_poseidon2.py against the host oracle).  What is
+new in the kernel — the (batch, chunk) grid, VMEM state persistence,
+overwrite-absorb masking, transposed Monty layout, and the rate-16
+compress reuse — is exercised here against a same-round-count host oracle.
+The full-round compiled kernel is differentially verified on real TPU and
+by every Poseidon2-config prove (the root feeds the Fiat-Shamir transcript).
+
+Mirrors the reference's GPU-vs-CPU differential pattern
+(/root/reference/native/src/fib_air.rs:192-196).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_stark.commit import poseidon2_mmcs as pm
+from tpu_stark.fields import babybear as bb
+from tpu_stark.hash import pallas_poseidon2 as pp
+from tpu_stark.hash import poseidon2
+
+N_EXT = 2  # reduced external rounds (must be even: half before, half after)
+N_INT = 1  # reduced internal rounds
+
+
+def _permute_host_reduced(state, n_ext=N_EXT, n_int=N_INT):
+    s = [int(x) % bb.P for x in state]
+    ext_rc, int_rc = poseidon2.round_constants(len(s))
+    diag = poseidon2.internal_diag(len(s))
+    half = n_ext // 2
+    s = poseidon2._external_mds_host(s)
+    for r in range(half):
+        s = [(x + c) % bb.P for x, c in zip(s, ext_rc[r])]
+        s = [poseidon2._sbox_host(x) for x in s]
+        s = poseidon2._external_mds_host(s)
+    for r in range(n_int):
+        s[0] = poseidon2._sbox_host((s[0] + int_rc[r]) % bb.P)
+        tot = sum(s) % bb.P
+        s = [(tot + d * x) % bb.P for x, d in zip(s, diag)]
+    for r in range(half, n_ext):
+        s = [(x + c) % bb.P for x, c in zip(s, ext_rc[r])]
+        s = [poseidon2._sbox_host(x) for x in s]
+        s = poseidon2._external_mds_host(s)
+    return s
+
+
+def _oracle_hash_row(values):
+    """PaddingFreeSponge<_, 16, 8, 8> with the reduced-round permutation."""
+    state = [0] * pp.WIDTH
+    vals = [int(v) % bb.P for v in values]
+    for off in range(0, len(vals), pp.RATE):
+        chunk = vals[off : off + pp.RATE]
+        for i, v in enumerate(chunk):
+            state[i] = v
+        state = _permute_host_reduced(state)
+    return tuple(state[: pp.OUT])
+
+
+def _kernel_hash_rows(mat_canonical: np.ndarray) -> np.ndarray:
+    mat_monty = jnp.asarray(bb.np_to_monty(mat_canonical))
+    mat_t, k = pp._pad_transpose(mat_monty)
+    out = pp.hash_rows_transposed(
+        mat_t, n_items=k, interpret=True, n_ext=N_EXT, n_int=N_INT
+    )  # (8, n_tiles, 128)
+    n = mat_canonical.shape[0]
+    return bb.np_from_monty(np.asarray(out).reshape(pp.OUT, n).T)
+
+
+@pytest.mark.parametrize(
+    "n,k",
+    [
+        (128, 3),    # single partial chunk (fib-scale narrow leaf)
+        (128, 8),    # exactly one rate chunk
+        (256, 12),   # 2 chunks, second partial; multi-tile batch
+        (128, 20),   # 3 chunks (VMEM state persists twice)
+    ],
+)
+def test_kernel_matches_reduced_round_oracle(n, k):
+    rng = np.random.default_rng(11)
+    mat = rng.integers(0, bb.P, size=(n, k), dtype=np.uint32)
+    got = _kernel_hash_rows(mat)
+    for i in [0, 1, n // 2, n - 1]:
+        assert tuple(int(v) for v in got[i]) == _oracle_hash_row(mat[i]), (n, k, i)
+
+
+def test_compress_matches_rate16_oracle():
+    rng = np.random.default_rng(13)
+    n = 128
+    l = rng.integers(0, bb.P, size=(n, 8), dtype=np.uint32)
+    r = rng.integers(0, bb.P, size=(n, 8), dtype=np.uint32)
+    state_t = jnp.concatenate(
+        [jnp.asarray(bb.np_to_monty(l)).T, jnp.asarray(bb.np_to_monty(r)).T],
+        axis=0,
+    )
+    out = pp.hash_rows_transposed(
+        state_t, n_items=pp.WIDTH, rate=pp.WIDTH, interpret=True,
+        n_ext=N_EXT, n_int=N_INT,
+    )
+    got = bb.np_from_monty(np.asarray(out).reshape(pp.OUT, n).T)
+    for i in [0, 1, n - 1]:
+        want = _permute_host_reduced(list(l[i]) + list(r[i]))[: pp.OUT]
+        assert tuple(int(v) for v in got[i]) == tuple(want), i
+
+
+def test_supports_gates():
+    assert not pp.supports(64, 3)     # below one (1, 128) tile
+    assert not pp.supports(96, 3)     # not a multiple of 128
+    assert not pp.supports(128, 0)    # empty rows stay on the XLA path
+    assert pp.supports(128, 3)
+    assert pp.supports(1 << 20, 56)   # poseidon2-chain AIR widths stream
+
+
+def test_dispatch_stays_on_xla_for_cpu_backend():
+    # conftest forces the CPU backend; auto dispatch must not pick pallas.
+    assert pm._poseidon2_impl() == "xla"

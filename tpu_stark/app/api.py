@@ -36,6 +36,8 @@ def run_fib_air_zk(n: int = 8, hash: str = "keccak") -> str:
     """Prove + verify the Fibonacci AIR with zk, n rows, pis [0, 1, fib(n)]
     (defaults reproduce the reference exactly: n=2^3, x=21, Keccak stack,
     fib_air.rs:56-74; ``hash="poseidon2"`` uses the field-native stack)."""
+    registry.take_last_error()  # drain stale errors from earlier, unrelated
+    # work so the appended channel (lib.rs:60-63) reports only THIS run's
     try:
         air = FibonacciAir()
         a, b = 0, 1

@@ -222,6 +222,31 @@ def _measure_poseidon2(n: int = 1 << 20, reps: int = 32) -> Dict:
     }
 
 
+def _measure_poseidon2_sponge(n: int = 1 << 20, reps: int = 32) -> Dict:
+    """The Merkle leaf-hash entry point (Pallas kernel on TPU, XLA on CPU) —
+    one rate-8 absorb + permutation per 6-column row."""
+    from ..commit import poseidon2_mmcs
+
+    rng = np.random.default_rng(0)
+    mat = jnp.asarray(bb.np_to_monty(rng.integers(0, bb.P, size=(n, 6), dtype=np.uint32)))
+
+    @jax.jit
+    def chain(m):
+        def body(_, mm):
+            return poseidon2_mmcs.hash_rows_batched(mm)[:, :6]
+
+        return jax.lax.fori_loop(0, reps, body, m)
+
+    rate = _timed(chain, mat, float(n), reps)
+    return {
+        "kernel": f"poseidon2_leaf_sponge_N{n}",
+        "achieved": rate * POSEIDON2_16_MONTMULS,
+        "unit": "montmul/s",
+        "roof_key": "montmul",
+        "mperm_s": rate / 1e6,
+    }
+
+
 def _measure_bitrev(h: int = 1 << 22, w: int = 8, reps: int = 16) -> Dict:
     from ..matrix import reverse_matrix_index_bits
 
@@ -256,6 +281,7 @@ def run(small: bool = False) -> Dict:
             _measure_ntt(256, 8, reps=2),
             _measure_keccak(n=256, reps=2),
             _measure_poseidon2(n=256, reps=2),
+            _measure_poseidon2_sponge(n=256, reps=2),
             _measure_bitrev(h=1 << 10, w=8, reps=2),
         ]
     else:
@@ -265,6 +291,7 @@ def run(small: bool = False) -> Dict:
             _measure_ntt(1 << 20, 8),
             _measure_keccak(),
             _measure_poseidon2(),
+            _measure_poseidon2_sponge(),
             _measure_bitrev(),
         ]
     for k in kernels:

@@ -64,9 +64,29 @@ def compress_host(left: Sequence[int], right: Sequence[int]) -> FieldDigest:
 # ---------------------------------------------------------------------------
 # Batched device primitives
 # ---------------------------------------------------------------------------
+def _poseidon2_impl() -> str:
+    """Merkle-layer implementation: the Pallas kernel (all rounds
+    VMEM-resident, the Poseidon2 twin of OPT-0013) on accelerators, the XLA
+    lane/stacked path on CPU (Mosaic is TPU-only).  Override with
+    TPU_STARK_POSEIDON2_IMPL=pallas|xla."""
+    import os
+
+    env = os.environ.get("TPU_STARK_POSEIDON2_IMPL")
+    if env:
+        return env
+    import jax
+
+    return "pallas" if jax.default_backend() != "cpu" else "xla"
+
+
 def hash_rows_batched(mat_monty: jnp.ndarray) -> jnp.ndarray:
     """(N, k) Monty -> (N, 8) Monty digests."""
     n, k = mat_monty.shape
+    if _poseidon2_impl() == "pallas":
+        from ..hash import pallas_poseidon2
+
+        if pallas_poseidon2.supports(int(n), int(k)):
+            return pallas_poseidon2.hash_rows(mat_monty)
     state = jnp.zeros((n, WIDTH), dtype=bb.u32)
     for off in range(0, k, RATE):
         chunk = mat_monty[:, off : off + RATE]
@@ -77,6 +97,11 @@ def hash_rows_batched(mat_monty: jnp.ndarray) -> jnp.ndarray:
 
 def compress_batched(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     """(N, 8) x (N, 8) -> (N, 8)."""
+    if _poseidon2_impl() == "pallas":
+        from ..hash import pallas_poseidon2
+
+        if pallas_poseidon2.supports(int(left.shape[0]), WIDTH):
+            return pallas_poseidon2.compress(left, right)
     state = jnp.concatenate([left, right], axis=1)
     return poseidon2.permute_batched(state)[:, :OUT]
 

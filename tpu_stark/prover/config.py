@@ -14,7 +14,7 @@ from typing import Optional
 from ..challenger.challenger import Challenger
 from ..commit.merkle import MerkleTreeMmcs
 from ..commit.pcs import TwoAdicFriPcs
-from ..compat.smallrng import SmallRng
+from ..compat.device_rng import make_zk_rng
 from ..fri.config import FriParameters, create_test_fri_params
 from ..ntt.dft import Dft
 
@@ -25,6 +25,7 @@ class StarkConfig:
     zk: bool = False
     rng_seed: int = 1  # trace-randomizer stream (zk)
     challenger_factory: type = Challenger
+    zk_rng: str = "device"  # hiding-randomness generator (see make_zk_rng)
 
     def challenger(self):
         """Fresh Fiat-Shamir transcript (Challenger::from_hasher(vec![], keccak),
@@ -39,17 +40,23 @@ def create_config(
     rng_seed: int = 1,
     hash: str = "keccak",
     mesh=None,
+    zk_rng: str = "device",
 ) -> StarkConfig:
     """Assemble a full config.
 
     ``hash="keccak"`` reproduces the reference's zk stack: hiding Keccak
-    Merkle commitments (SmallRng(1) salts), HidingFriPcs with 4 random
+    Merkle commitments (seeded salt stream), HidingFriPcs with 4 random
     codewords, byte-level Fiat-Shamir (fib_air.rs:40-66).
     ``hash="poseidon2"`` is the field-native production stack (BASELINE
     configs): Poseidon2 MMCS + duplex challenger — no serialization anywhere.
     ``mesh`` (a jax.sharding.Mesh) switches the PCS to the multi-chip sharded
     path (dist/pcs.py): distributed NTT + collective Merkle, bit-identical
     proofs (BASELINE config 5).
+    ``zk_rng`` selects the hiding-randomness stream: ``"device"`` (default)
+    generates salts/random codewords/trace randomizers counter-based in HBM
+    (OPT-0014 — the host stream's transfer dominated hiding commits);
+    ``"smallrng"`` is the reference-parity host Xoshiro256++ stream
+    (SmallRng::seed_from_u64, fib_air.rs:50,65).
     """
     fri = fri_params if fri_params is not None else create_test_fri_params(2)
     dft = Dft(backend=backend)
@@ -71,16 +78,20 @@ def create_config(
     else:
         pcs_cls = TwoAdicFriPcs
     if zk:
+        # Like the reference, the MMCS salt stream and the HidingPcs codeword
+        # stream are independently seeded rngs (fib_air.rs:50,65); device mode
+        # additionally domain-separates them by stream tag.
         pcs = pcs_cls(
             dft,
             fri,
-            val_mmcs=mmcs_cls(hiding=True, rng=SmallRng.seed_from_u64(rng_seed)),
+            val_mmcs=mmcs_cls(hiding=True, rng=make_zk_rng(zk_rng, rng_seed, "salts")),
             challenge_mmcs=mmcs_cls(),
             num_random_codewords=4,
-            rng=SmallRng.seed_from_u64(rng_seed),
+            rng=make_zk_rng(zk_rng, rng_seed, "codewords"),
         )
     else:
         pcs = pcs_cls(dft, fri, val_mmcs=mmcs_cls(), challenge_mmcs=mmcs_cls())
     return StarkConfig(
-        pcs=pcs, zk=zk, rng_seed=rng_seed, challenger_factory=challenger_factory
+        pcs=pcs, zk=zk, rng_seed=rng_seed, challenger_factory=challenger_factory,
+        zk_rng=zk_rng,
     )

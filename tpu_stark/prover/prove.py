@@ -12,7 +12,8 @@ Transcript (the framework's canonical Fiat-Shamir spec, mirrored by verify.py):
 
 zk mode (the reference's ``test_zk`` shape, fib_air.rs:27-75): the committed
 trace is the randomized T'(x) = T(x) + Z_H(x)*R(x) with R of degree < n drawn
-from the SmallRng stream — T' agrees with T on H, has degree < 2n, and makes
+from the zk rng stream (compat/device_rng.py; ``zk_rng="smallrng"`` for the
+reference's host Xoshiro stream) — T' agrees with T on H, has degree < 2n, and makes
 the two out-of-domain trace openings perfectly hiding; Merkle leaves are
 salted and 4 random codewords mask the FRI batch (HidingFriPcs semantics).
 """
@@ -29,7 +30,7 @@ import numpy as np
 from ..air.air import BaseAir, SymbolicAirBuilder, get_symbolic_info
 from ..air.builders import QuotientBuilder
 from ..air.values import DevVal
-from ..compat.smallrng import SmallRng
+from ..compat.device_rng import make_zk_rng
 from ..fields import babybear as bb
 from ..fields import extension as ext4
 from ..fields import ref_field as rf
@@ -121,7 +122,7 @@ def prove(
 
     # -- 1. commit (possibly randomized) trace -----------------------------
     if config.zk:
-        rng = SmallRng.seed_from_u64(config.rng_seed)
+        rng = make_zk_rng(config.zk_rng, config.rng_seed, "trace")
         r = jnp.asarray(rng.sample_babybear_matrix_monty(n, width))
         coeffs = dft.idft_batch(trace_dev)
         coeffs2 = jnp.concatenate([bb.sub(coeffs, r), r], axis=0)  # (2n, w)
