@@ -124,11 +124,19 @@ class MerkleTreeMmcs:
         rows + sibling paths batch into a single device_get — per-query
         fetches cost one ~30 ms tunnel round trip EACH (measured; ~100
         queries x (rounds + fold levels) syncs dominated pcs.open)."""
+        fetch, finish = self.open_batch_many_lazy(indices, data)
+        return finish(jax.device_get(fetch))
+
+    def open_batch_many_lazy(self, indices: Sequence[int], data: ProverData):
+        """Deferred form of ``open_batch_many``: queue the row/sibling gathers
+        and return ``(device_arrays, finish)``; the caller pools many trees'
+        arrays into ONE ``device_get`` and hands each tree's slice back to its
+        ``finish`` (OPT-0017: pcs.open previously paid one ~30ms+ tunnel round
+        trip per tree — rounds + every FRI fold level)."""
         max_h = max(int(m.shape[0]) for m in data.matrices)
         log_max = log2_strict(max_h)
         idx_np = np.asarray(list(indices), dtype=np.int64)
-        fetch: List = []  # one vectorized gather per matrix/salt/layer,
-        # all resolved in ONE device_get
+        fetch: List = []  # one vectorized gather per matrix/salt/layer
         for k, m in enumerate(data.matrices):
             h = int(m.shape[0])
             rows = jnp.asarray(idx_np >> (log_max - log2_strict(h)))
@@ -139,7 +147,15 @@ class MerkleTreeMmcs:
         for l in range(log_max):
             fetch.append(data.layers[l][jnp.asarray(cur ^ 1)])  # (Q, 4, 2)
             cur = cur >> 1
-        host = jax.device_get(fetch)
+
+        def finish(host: List) -> List[BatchOpening]:
+            return self._assemble_openings(idx_np, data, log_max, host)
+
+        return fetch, finish
+
+    def _assemble_openings(
+        self, idx_np: np.ndarray, data: ProverData, log_max: int, host: List
+    ) -> List[BatchOpening]:
         out: List[BatchOpening] = []
         n_mat = len(data.matrices)
         stride = n_mat * (2 if data.salts is not None else 1)

@@ -318,21 +318,30 @@ class TwoAdicFriPcs:
         mark("random codeword commit")
 
         # 1. Out-of-domain values at z_y = zeta / GENERATOR, observed in order.
+        # All (matrix, point) evals are queued, then resolved with ONE
+        # device_get (OPT-0017: each np.asarray sync paid a tunnel round trip);
+        # the Monty device values stay resident for the reduced openings.
         gen_inv = rf.finv(bb.GENERATOR)
-        opened_values: OpenedValues = []
-        opened_dev: List[List[List[np.ndarray]]] = []
+        eval_dev: List[jnp.ndarray] = []
         for data, points in rounds:
-            rv, rd = [], []
             for m_idx, mat_points in enumerate(points):
-                mv, md = [], []
                 h = int(data.r_coeffs[m_idx].shape[0])
                 for zeta in mat_points:
                     z_y = rf.escale(zeta, gen_inv)
                     zpow = ext4.powers_device(z_y, h)
-                    vals = _eval_at_point(data.r_coeffs[m_idx], zpow)
-                    vals_np = bb.np_from_monty(np.asarray(vals))  # (w, 4)
+                    eval_dev.append(_eval_at_point(data.r_coeffs[m_idx], zpow))
+        eval_host = iter(jax.device_get(eval_dev))
+        eval_queue = iter(eval_dev)
+        opened_values: OpenedValues = []
+        opened_dev: List[List[List[jnp.ndarray]]] = []
+        for data, points in rounds:
+            rv, rd = [], []
+            for m_idx, mat_points in enumerate(points):
+                mv, md = [], []
+                for _zeta in mat_points:
+                    vals_np = bb.np_from_monty(next(eval_host))  # (w, 4)
                     mv.append([tuple(int(c) for c in row) for row in vals_np])
-                    md.append(np.asarray(vals))
+                    md.append(next(eval_queue))
                 rv.append(mv)
                 rd.append(md)
             opened_values.append(rv)
@@ -348,35 +357,60 @@ class TwoAdicFriPcs:
         mark("out-of-domain evals")
 
         # 2. Reduced openings per log-height (bit-reversed plain-frame).
-        ro: Dict[int, jnp.ndarray] = {}
-        alpha_counter: Dict[int, int] = {}
+        # Jobs are collected first, then consecutive same-(height, zeta) jobs
+        # merge into ONE _reduced_quotient call over concatenated columns
+        # (OPT-0017: the quotient round's 2^log_qd chunks share height and
+        # zeta — merging shares the (y - z) batch inversion and the scan).
+        # Alpha-power assignment is per height in global job order, exactly
+        # the verifier's alpha_ctr walk; merging never reorders within a
+        # height, so offsets stay contiguous and transcripts unchanged.
+        jobs_by_height: Dict[int, list] = {}
         for (data, points), r_opened in zip(rounds, opened_dev):
             for m_idx, mat_points in enumerate(points):
                 mat_br = data.merkle.matrices[m_idx]
-                h, w = int(mat_br.shape[0]), int(mat_br.shape[1])
-                log_h = log2_strict(h)
-                y_br = _plain_points_br(log_h)
-                if log_h not in ro:
-                    ro[log_h] = ext4.zero((h,))
-                    alpha_counter[log_h] = 0
+                w = int(mat_br.shape[1])
+                log_h = log2_strict(int(mat_br.shape[0]))
+                hjobs = jobs_by_height.setdefault(log_h, [])
                 if not mat_points:
                     # random codewords: mixed in directly (already low degree)
-                    off = alpha_counter[log_h]
-                    apows = _alpha_pows_dev(alpha, off, w)
-                    contrib = _combine_columns(mat_br, apows)
-                    ro[log_h] = ext4.add(ro[log_h], contrib)
-                    alpha_counter[log_h] += w
-                    continue
+                    hjobs.append((None, mat_br, None, w))
                 for p_idx, zeta in enumerate(mat_points):
                     z_y = rf.escale(zeta, gen_inv)
-                    off = alpha_counter[log_h]
-                    apows = _alpha_pows_dev(alpha, off, w)
-                    p_z = jnp.asarray(r_opened[m_idx][p_idx])  # (w, 4) monty
-                    contrib = _reduced_quotient(
-                        mat_br, apows, p_z, ext4.scalar(z_y), y_br
+                    hjobs.append((z_y, mat_br, r_opened[m_idx][p_idx], w))
+
+        ro: Dict[int, jnp.ndarray] = {}
+        for log_h, hjobs in jobs_by_height.items():
+            y_br = _plain_points_br(log_h)
+            ro[log_h] = ext4.zero((1 << log_h,))
+            groups: List[list] = []
+            for job in hjobs:
+                if groups and job[0] is not None and groups[-1][-1][0] == job[0]:
+                    groups[-1].append(job)
+                else:
+                    groups.append([job])
+            off = 0
+            for grp in groups:
+                z_y = grp[0][0]
+                w_total = sum(g[3] for g in grp)
+                apows = _alpha_pows_dev(alpha, off, w_total)
+                if z_y is None:
+                    contrib = _combine_columns(grp[0][1], apows)
+                else:
+                    mat = (
+                        grp[0][1]
+                        if len(grp) == 1
+                        else jnp.concatenate([g[1] for g in grp], axis=1)
                     )
-                    ro[log_h] = ext4.add(ro[log_h], contrib)
-                    alpha_counter[log_h] += w
+                    p_z = (
+                        grp[0][2]
+                        if len(grp) == 1
+                        else jnp.concatenate([g[2] for g in grp], axis=0)
+                    )
+                    contrib = _reduced_quotient(
+                        mat, apows, p_z, ext4.scalar(z_y), y_br
+                    )
+                ro[log_h] = ext4.add(ro[log_h], contrib)
+                off += w_total
 
         mark("reduced openings (queued)")
 
@@ -421,25 +455,33 @@ class TwoAdicFriPcs:
         pow_witness = challenger.grind(fri.proof_of_work_bits)
         mark("PoW grind")
 
-        # 5. Queries — indices first (transcript order unchanged), then all
-        # openings fetched with one transfer per tree (open_batch_many).
+        # 5. Queries — indices first (transcript order unchanged), then ALL
+        # trees' openings (commit rounds + every fold level) pooled into ONE
+        # device_get (OPT-0017: one transfer per tree still paid ~24 tunnel
+        # round trips at 2^20 — rounds + ~21 commit-phase levels).
         indices = [challenger.sample_bits(log_max) for _ in range(fri.num_queries)]
-        round_openings = []
+        pooled_fetch: List = []
+        finishers: List = []
         for data, _pts in rounds:
             r_max = max(int(m.shape[0]) for m in data.merkle.matrices)
             shift_bits = log_max - log2_strict(r_max)
-            round_openings.append(
-                self.val_mmcs.open_batch_many(
-                    [i >> shift_bits for i in indices], data.merkle
-                )
+            fetch, fin = self.val_mmcs.open_batch_many_lazy(
+                [i >> shift_bits for i in indices], data.merkle
             )
-        cp_level_openings = []
+            pooled_fetch.append(fetch)
+            finishers.append(fin)
         idxs = list(indices)
         for c_data in commit_phase_data:
-            cp_level_openings.append(
-                self.challenge_mmcs.open_batch_many([i >> 1 for i in idxs], c_data)
+            fetch, fin = self.challenge_mmcs.open_batch_many_lazy(
+                [i >> 1 for i in idxs], c_data
             )
+            pooled_fetch.append(fetch)
+            finishers.append(fin)
             idxs = [i >> 1 for i in idxs]
+        host_all = jax.device_get(pooled_fetch)
+        results = [fin(host) for fin, host in zip(finishers, host_all)]
+        round_openings = results[: len(rounds)]
+        cp_level_openings = results[len(rounds) :]
         query_proofs = [
             QueryProof(
                 [ro[q] for ro in round_openings],

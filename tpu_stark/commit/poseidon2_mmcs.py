@@ -211,6 +211,13 @@ class Poseidon2Mmcs:
         vectorized gather per matrix/salt/layer (same rationale as
         merkle.MerkleTreeMmcs.open_batch_many: per-query fetches cost one
         tunnel round trip each)."""
+        fetch, finish = self.open_batch_many_lazy(indices, data)
+        return finish(jax.device_get(fetch))
+
+    def open_batch_many_lazy(self, indices: Sequence[int], data: ProverData):
+        """Deferred form: queue gathers, return (device_arrays, finish) so
+        pcs.open can pool EVERY tree's openings into one device_get
+        (OPT-0017; see merkle.MerkleTreeMmcs.open_batch_many_lazy)."""
         max_h = max(int(m.shape[0]) for m in data.matrices)
         log_max = log2_strict(max_h)
         idx_np = np.asarray(list(indices), dtype=np.int64)
@@ -231,7 +238,15 @@ class Poseidon2Mmcs:
                 else bb.to_u32(layer[jnp.asarray(sib)])
             )
             cur = cur >> 1
-        host = jax.device_get(fetch)
+
+        def finish(host: List) -> List[BatchOpening]:
+            return self._assemble_openings(idx_np, data, log_max, host)
+
+        return fetch, finish
+
+    def _assemble_openings(
+        self, idx_np: np.ndarray, data: ProverData, log_max: int, host: List
+    ) -> List[BatchOpening]:
         out: List[BatchOpening] = []
         n_salt = 2 if data.salts is not None else 1
         stride = len(data.matrices) * n_salt

@@ -72,25 +72,74 @@ def _dit_core(log_h: int, x: jnp.ndarray, *twiddles: jnp.ndarray) -> jnp.ndarray
     return x
 
 
-_NARROW_MAX_W = 8
-_NARROW_MIN_LOGH = 18
+_NARROW_MAX_W = 32
+_NARROW_MIN_LOGH = 16
 
 
-def _use_mxu_narrow(h: int, w: int) -> bool:
-    """Opt-in (TPU_STARK_NTT_NARROW=1) reroute of tall-narrow inputs to the
-    MXU 4-step path.  The chained micro-benchmark favors it 2.6x at
-    (2^22, 2) — the stage loop leaves the VPU's 128-lane minor axis ~empty —
-    but END-TO-END it REGRESSED the 2^20 zk prove 43.2s -> 111.8s (A/B,
-    docs/optimization_attempts.md OPT-0011 addendum), so it stays off by
-    default until the single-call cost is understood."""
-    env = os.environ.get("TPU_STARK_NTT_NARROW")
-    if env is None or env in ("0", "false"):
-        return False
+@functools.lru_cache(maxsize=None)
+def _four_step_twiddle_np(log_h: int, inverse: bool) -> np.ndarray:
+    """(N1, N2) Monty table T[k1, j2] = w_N^(k1*j2), N1 = 2^ceil(log_h/2)."""
+    l1 = (log_h + 1) // 2
+    l2 = log_h - l1
+    root = bb.two_adic_generator(log_h)
+    if inverse:
+        root = pow(root, bb.P - 2, bb.P)
+    pows = bb.np_powers(root, 1 << log_h).astype(np.uint32)  # w_N^t, t < N
+    k1 = np.arange(1 << l1, dtype=np.int64)[:, None]
+    j2 = np.arange(1 << l2, dtype=np.int64)[None, :]
+    idx = (k1 * j2) & ((1 << log_h) - 1)  # k1*j2 mod N (w_N has order N)
+    return bb.np_to_monty(pows[idx])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _four_step_core(log_h: int, inverse: bool, x: jnp.ndarray) -> jnp.ndarray:
+    """Four-step DFT for tall-narrow batches, pure VPU (OPT-0016).
+
+    The radix-2 stage loop on a (2^22, 2)-shaped batch leaves the VPU's
+    128-lane minor axis ~empty (OPT-0011).  Splitting N = N1*N2 turns one
+    narrow length-N transform into two *wide* sub-transforms (width N2*w and
+    N1*w) joined by an elementwise twiddle and a transpose — the same
+    hierarchical decomposition the reference's survey prescribes once a
+    column exceeds on-chip memory (docs/mobile_gpu_zk_survey.md:349-360),
+    here driven by lane utilization instead of memory.  Unlike the MXU
+    variant (mxu_ntt.py, OPT-0011 addendum: end-to-end regression from
+    per-call limb-constant setup), both sub-transforms reuse _dit_core
+    unchanged, so single-call overhead is just two layout moves.
+
+    Derivation (j = j1*N2 + j2, k = k2*N1 + k1):
+      X[k2*N1+k1] = sum_j2 [ (sum_j1 x[j1*N2+j2] w_N1^(j1*k1)) * w_N^(j2*k1) ]
+                    * w_N2^(j2*k2)
+    """
+    h, w = x.shape
+    l1 = (log_h + 1) // 2
+    l2 = log_h - l1
+    n1, n2 = 1 << l1, 1 << l2
+    a = x.reshape(n1, n2 * w)
+    b = _dit_core(l1, a, *_stage_twiddles(l1, inverse))  # B[k1, (j2, c)]
+    t = jnp.asarray(_four_step_twiddle_np(log_h, inverse))  # (n1, n2)
+    b = bb.mul(b.reshape(n1, n2, w), t[:, :, None])
+    c = b.transpose(1, 0, 2).reshape(n2, n1 * w)
+    d = _dit_core(l2, c, *_stage_twiddles(l2, inverse))  # D[k2, (k1, c)]
+    return d.reshape(h, w)
+
+
+def _narrow_mode(h: int, w: int) -> str | None:
+    """Dispatch policy for tall-narrow inputs on accelerators.
+
+    "vpu4" (default): the pure-VPU four-step above.  "mxu"/"1": the
+    bf16-limb MXU path (mxu_ntt.py) — faster in chained micro-benchmarks but
+    an end-to-end regression (OPT-0011 addendum), kept opt-in for study.
+    "0"/"off": plain stage loop."""
+    env = os.environ.get("TPU_STARK_NTT_NARROW", "vpu4")
+    if env in ("0", "false", "off"):
+        return None
     if w > _NARROW_MAX_W or h < (1 << _NARROW_MIN_LOGH):
-        return False
+        return None
     import jax
 
-    return jax.default_backend() != "cpu"
+    if jax.default_backend() == "cpu":
+        return None
+    return "mxu" if env in ("1", "mxu") else "vpu4"
 
 
 def dft_batch(mat: jnp.ndarray) -> jnp.ndarray:
@@ -100,10 +149,13 @@ def dft_batch(mat: jnp.ndarray) -> jnp.ndarray:
     log_h = log2_strict(mat.shape[0])
     if log_h == 0:
         return mat
-    if _use_mxu_narrow(mat.shape[0], mat.shape[1]):
+    mode = _narrow_mode(mat.shape[0], mat.shape[1])
+    if mode == "mxu":
         from . import mxu_ntt
 
         return mxu_ntt.dft_batch(mat, use_pallas=True)
+    if mode == "vpu4":
+        return _four_step_core(log_h, False, mat)
     return _dit_core(log_h, mat, *_stage_twiddles(log_h, False))
 
 
@@ -113,11 +165,15 @@ def idft_batch(mat: jnp.ndarray) -> jnp.ndarray:
     log_h = log2_strict(h)
     if log_h == 0:
         return mat
-    if _use_mxu_narrow(h, mat.shape[1]):
+    mode = _narrow_mode(h, mat.shape[1])
+    if mode == "mxu":
         from . import mxu_ntt
 
         return mxu_ntt.idft_batch(mat, use_pallas=True)
-    out = _dit_core(log_h, mat, *_stage_twiddles(log_h, True))
+    if mode == "vpu4":
+        out = _four_step_core(log_h, True, mat)
+    else:
+        out = _dit_core(log_h, mat, *_stage_twiddles(log_h, True))
     h_inv = bb.monty_scalar(pow(h, bb.P - 2, bb.P))
     return bb.mul(out, h_inv)
 
