@@ -38,3 +38,10 @@ def test_backend_knob_roundtrip():
 
 def test_probe_never_raises():
     assert api.is_tpu_available() in (True, False)
+
+
+def test_typo_alias_exports():
+    """The reference ships misspelled forwarding exports (setBAckend /
+    com_plonk3 path, lib.rs:148-164); the API mirrors them."""
+    assert api.set_bAckend is api.set_backend
+    assert api.setBAckend is api.set_backend

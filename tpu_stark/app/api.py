@@ -64,3 +64,10 @@ def run_dft_benchmark() -> str:
         return _bench()
     except Exception as e:  # noqa: BLE001
         return f"dft benchmark failed: {e}"
+
+
+# Typo-compat aliases: the reference ships two misspelled exports that
+# forward to the real setBackend for old callers (``setBAckend`` and a
+# ``com_plonk3`` JNI path, lib.rs:148-164); kept for surface parity.
+set_bAckend = set_backend
+setBAckend = set_backend
