@@ -43,10 +43,13 @@ def main() -> None:
     proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
     t_first = time.time() - t0
     samples = []
-    for _ in range(reps):
-        t0 = time.time()
-        proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
-        samples.append(round(time.time() - t0, 3))
+    from tpu_stark.bench.profiling import env_trace_dir, maybe_trace
+
+    with maybe_trace(env_trace_dir()):  # TPU_STARK_PROFILE=<dir> for a device trace
+        for _ in range(reps):
+            t0 = time.time()
+            proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
+            samples.append(round(time.time() - t0, 3))
     t0 = time.time()
     ok = verify(create_config(zk=zk, hash=hash_stack), air, proof, pis)
     t_verify = time.time() - t0

@@ -45,3 +45,23 @@ def test_typo_alias_exports():
     com_plonk3 path, lib.rs:148-164); the API mirrors them."""
     assert api.set_bAckend is api.set_backend
     assert api.setBAckend is api.set_backend
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """bench/profiling.maybe_trace captures a device trace (SURVEY.md par5.1:
+    the jax.profiler tier replacing the reference's VK timestamp pools)."""
+    import os
+
+    from tpu_stark.bench.profiling import env_trace_dir, maybe_trace
+
+    trace_dir = str(tmp_path / "trace")
+    with maybe_trace(trace_dir):
+        api.run_fib_air_zk(n=8)
+    found = []
+    for root, _dirs, files in os.walk(trace_dir):
+        found += [f for f in files if f.endswith(".xplane.pb")]
+    assert found, "profiler produced no xplane trace"
+    # no-op path adds nothing
+    with maybe_trace(None):
+        pass
+    assert env_trace_dir() in (None, os.environ.get("TPU_STARK_PROFILE"))

@@ -24,10 +24,17 @@ def main(argv=None) -> int:
         "--hash", default="keccak", help="commitment stack: keccak|poseidon2"
     )
     parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler device trace into DIR (bench/profiling.py)",
+    )
+    parser.add_argument(
         "workloads", nargs="*", default=[], help="any of: fib bench (default both)"
     )
     args = parser.parse_args(argv)
 
+    from ..bench.profiling import env_trace_dir, maybe_trace
     from . import api
 
     try:
@@ -37,10 +44,11 @@ def main(argv=None) -> int:
         return 2
     out = [f"tpu available: {api.is_tpu_available()}"]  # MainActivity.kt:31
     workloads = args.workloads or ["fib", "bench"]
-    if "fib" in workloads:
-        out.append(api.run_fib_air_zk(args.n, hash=args.hash))  # MainActivity.kt:33
-    if "bench" in workloads:
-        out.append(api.run_dft_benchmark())  # MainActivity.kt:35
+    with maybe_trace(args.profile or env_trace_dir()):
+        if "fib" in workloads:
+            out.append(api.run_fib_air_zk(args.n, hash=args.hash))  # MainActivity.kt:33
+        if "bench" in workloads:
+            out.append(api.run_dft_benchmark())  # MainActivity.kt:35
     print("\n\n".join(out))
     return 0
 

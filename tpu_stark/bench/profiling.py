@@ -1,0 +1,44 @@
+"""Profiler tier — the TPU analog of the reference's GPU-timestamp tracing.
+
+The reference instruments its Vulkan backend with ``VK_QUERY_TYPE_TIMESTAMP``
+pools written at begin / post-compute / post-copy and read non-blockingly
+(``/root/reference/native/src/backend_vulkan.rs:260-283,1353-1384``), next to
+wall-clock phase timing and the benchmark statistics (SURVEY.md par5.1).  On
+TPU the device-side tier is ``jax.profiler``: an XPlane trace capturing every
+XLA executable, fusion and transfer with device timestamps, viewable in
+TensorBoard/Perfetto.
+
+Three tiers here, mirroring the reference's split:
+
+* device timeline   — ``maybe_trace(dir)`` / ``TPU_STARK_PROFILE=<dir>``
+* wall-clock phases — ``TPU_STARK_TIMING=1`` phase marks (prove.py, pcs.py)
+* statistics        — bench/harness.py avg/median/p95 + bench/sol.py roofline
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Iterator, Optional
+
+
+@contextlib.contextmanager
+def maybe_trace(trace_dir: Optional[str]) -> Iterator[None]:
+    """``jax.profiler.trace`` when ``trace_dir`` is set, else a no-op.
+
+    Like the reference's non-blocking timestamp reads (a disabled query pool
+    costs nothing), profiling is strictly opt-in: the default path adds zero
+    overhead and no imports.
+    """
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield
+
+
+def env_trace_dir() -> Optional[str]:
+    """The ``TPU_STARK_PROFILE`` env knob (empty/unset disables)."""
+    return os.environ.get("TPU_STARK_PROFILE") or None
