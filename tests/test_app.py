@@ -65,3 +65,17 @@ def test_profiler_trace_smoke(tmp_path):
     with maybe_trace(None):
         pass
     assert env_trace_dir() in (None, os.environ.get("TPU_STARK_PROFILE"))
+
+
+def test_device_policy():
+    """backend/policy.py: the device-adaptive policy point (SURVEY.md par5.6)
+    resolves on any platform and its knobs are sane."""
+    from tpu_stark.backend.policy import current_policy, describe
+
+    p = current_policy()
+    assert p.num_devices >= 1
+    assert p.vmem_bytes >= 1 << 20
+    assert 0 < p.sponge_vmem_in_budget <= p.vmem_bytes
+    assert p.ntt_narrow_max_w >= 1
+    assert p.fri_host_tail_log >= 0
+    assert p.device_kind in describe() or p.platform in describe()

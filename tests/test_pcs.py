@@ -116,3 +116,25 @@ class TestPcsRoundTrip:
         proof.pow_witness = (proof.pow_witness + 1) % bb.P
         rounds_verify = [(commits[0], [(all_evals[0][0][0], [(zeta, opened[0][0][0])])])]
         assert not pcs.verify(rounds_verify, proof, v_ch)
+
+
+def test_fri_host_tail_byte_identical(monkeypatch):
+    """OPT-0018: the host-CPU FRI fold tail must be transcript-invisible —
+    identical serialized proofs with the tail disabled (0) and fully
+    engaged (99)."""
+    from tpu_stark.air.fibonacci import FibonacciAir, generate_trace_rows
+    from tpu_stark.prover.config import create_config
+    from tpu_stark.prover.proof import serialize_proof
+    from tpu_stark.prover.prove import prove
+    from tpu_stark.prover.verify import verify
+
+    trace = generate_trace_rows(0, 1, 64)
+    pis = [0, 1, int(trace[-1, 1])]
+    blobs = {}
+    for tail in ("0", "99"):
+        monkeypatch.setenv("TPU_STARK_FRI_HOST_TAIL", tail)
+        cfg = create_config(zk=True)
+        proof = prove(cfg, FibonacciAir(), trace, pis)
+        assert verify(create_config(zk=True), FibonacciAir(), proof, pis)
+        blobs[tail] = serialize_proof(proof)
+    assert blobs["0"] == blobs["99"]

@@ -182,7 +182,9 @@ def run_dft_benchmark(cases: Optional[List[Tuple[int, int]]] = None) -> str:
     Requires the accelerator: aborts if no TPU (fib_air.rs:99)."""
     if not registry.is_tpu_available():
         raise RuntimeError("dft benchmark requires a TPU device")
-    lines = []
+    from ..backend.policy import describe
+
+    lines = [describe()]
     for h, w in cases if cases is not None else DEFAULT_CASES:
         res = run_case(h, w, use_tpu=True)
         err = registry.take_last_error()

@@ -112,6 +112,18 @@ class MerkleTreeMmcs:
         root = _digest_at(layers[-1], 0)
         return root, ProverData(matrices, salts, layers, root)
 
+    @staticmethod
+    def to_host_data(data: ProverData) -> ProverData:
+        """Re-home a (CPU-built) tree as numpy so openings never touch a
+        device (the FRI host tail, pcs.py OPT-0018).  Matrices/salts stay
+        Monty; digest layers are raw u32 — same conventions as device data."""
+        return ProverData(
+            [np.asarray(m) for m in data.matrices],
+            None if data.salts is None else [np.asarray(s) for s in data.salts],
+            [np.asarray(l) for l in data.layers],
+            data.root,
+        )
+
     # -- open --------------------------------------------------------------
     def open_batch(self, index: int, data: ProverData) -> BatchOpening:
         return self.open_batch_many([index], data)[0]
@@ -139,13 +151,27 @@ class MerkleTreeMmcs:
         fetch: List = []  # one vectorized gather per matrix/salt/layer
         for k, m in enumerate(data.matrices):
             h = int(m.shape[0])
-            rows = jnp.asarray(idx_np >> (log_max - log2_strict(h)))
-            fetch.append(bb.to_u32(m[rows]))  # (Q, w)
+            rows_np = idx_np >> (log_max - log2_strict(h))
+            if isinstance(m, np.ndarray):  # host tree (FRI host tail, OPT-0018)
+                fetch.append(bb.np_from_monty(m[rows_np]))
+            else:
+                fetch.append(bb.to_u32(m[jnp.asarray(rows_np)]))  # (Q, w)
             if data.salts is not None:
-                fetch.append(bb.to_u32(data.salts[k][rows]))
+                s = data.salts[k]
+                fetch.append(
+                    bb.np_from_monty(np.asarray(s)[rows_np])
+                    if isinstance(s, np.ndarray)
+                    else bb.to_u32(s[jnp.asarray(rows_np)])
+                )
         cur = idx_np
         for l in range(log_max):
-            fetch.append(data.layers[l][jnp.asarray(cur ^ 1)])  # (Q, 4, 2)
+            layer = data.layers[l]
+            sib = cur ^ 1
+            fetch.append(  # (Q, 4, 2); jax.device_get passes np through
+                layer[sib]
+                if isinstance(layer, np.ndarray)
+                else layer[jnp.asarray(sib)]
+            )
             cur = cur >> 1
 
         def finish(host: List) -> List[BatchOpening]:

@@ -103,6 +103,56 @@ _ROW_BLOCK = 1 << 20  # rows per sequential block in eval/combine: bounds the
 # open phase scales to the 2^24-row north-star target (2^26 LDE rows)
 
 
+def _host_tail_log() -> int:
+    """FRI folds at <= 2^this rows run host-side (0 disables; OPT-0018).
+    Default from the device policy (larger on tunneled devices where every
+    sync costs a round trip); ``TPU_STARK_FRI_HOST_TAIL`` overrides."""
+    import os
+
+    from ..backend.policy import current_policy
+
+    env = os.environ.get("TPU_STARK_FRI_HOST_TAIL")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    return current_policy().fri_host_tail_log
+
+
+@functools.cache
+def _cpu_dev():
+    """The host CPU jax device, or None when unavailable."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:  # noqa: BLE001 — no cpu backend: host tail disabled
+        return None
+
+
+def _commit_on_host(mmcs, mats_np: List[np.ndarray]):
+    """Commit tiny FRI fold codewords on the host CPU backend — the same
+    (tested) XLA sponge code, placed on cpu, results re-homed as numpy so the
+    query phase's gathers are tunnel-free too (OPT-0018).  Forces the XLA
+    sponge impls: Mosaic/Pallas is TPU-only and the impl knobs read
+    ``jax.default_backend()``, which stays the accelerator under
+    ``jax.default_device(cpu)``."""
+    import os
+
+    forced = {"TPU_STARK_KECCAK_IMPL": "xla", "TPU_STARK_POSEIDON2_IMPL": "xla"}
+    saved = {k: os.environ.get(k) for k in forced}
+    os.environ.update(forced)
+    try:
+        with jax.default_device(_cpu_dev()):
+            root, data = mmcs.commit([jnp.asarray(m) for m in mats_np])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return root, mmcs.to_host_data(data)
+
+
 def _pad_cols(mat: jnp.ndarray, multiple: int) -> jnp.ndarray:
     w = mat.shape[1]
     pad = (-w) % multiple
@@ -414,33 +464,71 @@ class TwoAdicFriPcs:
 
         mark("reduced openings (queued)")
 
-        # 3. FRI commit phase.
+        # 3. FRI commit phase.  The chain is Fiat-Shamir-serialized (each
+        # level's root must reach the transcript before beta exists), so every
+        # level costs at least one device->host sync; once the codeword is
+        # tiny the per-level tunnel round trips dominate the (trivial) math.
+        # OPT-0018: below 2^TPU_STARK_FRI_HOST_TAIL rows, pull the codeword
+        # with ONE device_get and run the remaining commits+folds on the host
+        # CPU backend (same XLA sponge/fold code, zero further tunnel syncs).
         log_max = max(ro)
         log_min = fri.log_blowup + fri.log_final_poly_len
+        tail_log = _host_tail_log()
         commit_phase_commits: List[Digest] = []
         commit_phase_data = []
         current = ro[log_max]
         log_h = log_max
+        on_host = False
         while log_h > log_min:
-            # multi-device folds collapse to one device once tiny (see
-            # merkle.gather_if_tiny: sub-device-count GSPMD shapes are both
-            # slow and hazardous); the big early folds stay sharded.
-            current = gather_if_tiny(current)
-            pairs = current.reshape(-1, 2, 4)  # (h/2, 2, 4) ext pairs
-            flat = pairs.reshape(-1, 8)  # ExtensionMmcs flattening
-            c_root, c_data = self.challenge_mmcs.commit([flat])
+            if not on_host and log_h <= tail_log and _cpu_dev() is not None:
+                pull_heights = [lh for lh in sorted(ro) if lh < log_h]
+                got = jax.device_get([current] + [ro[lh] for lh in pull_heights])
+                current = got[0]
+                for lh, v in zip(pull_heights, got[1:]):
+                    ro[lh] = v
+                on_host = True
+            if on_host:
+                pairs = current.reshape(-1, 2, 4)
+                c_root, c_data = _commit_on_host(
+                    self.challenge_mmcs, [pairs.reshape(-1, 8)]
+                )
+            else:
+                # multi-device folds collapse to one device once tiny (see
+                # merkle.gather_if_tiny: sub-device-count GSPMD shapes are both
+                # slow and hazardous); the big early folds stay sharded.
+                current = gather_if_tiny(current)
+                pairs = current.reshape(-1, 2, 4)  # (h/2, 2, 4) ext pairs
+                flat = pairs.reshape(-1, 8)  # ExtensionMmcs flattening
+                c_root, c_data = self.challenge_mmcs.commit([flat])
             commit_phase_commits.append(c_root)
             commit_phase_data.append(c_data)
             challenger.observe_commitment(c_root)
             beta = challenger.sample_ext()
-            current = _fold_pairs(pairs, ext4.scalar(beta), log_h)
+            if on_host:
+                with jax.default_device(_cpu_dev()):
+                    current = np.asarray(
+                        _fold_pairs(jnp.asarray(pairs), ext4.scalar(beta), log_h)
+                    )
+            else:
+                current = _fold_pairs(pairs, ext4.scalar(beta), log_h)
             log_h -= 1
             if log_h in ro:
-                current = ext4.add(current, ro[log_h])
+                if on_host:
+                    with jax.default_device(_cpu_dev()):
+                        current = np.asarray(
+                            ext4.add(jnp.asarray(current), jnp.asarray(ro[log_h]))
+                        )
+                else:
+                    current = ext4.add(current, ro[log_h])
 
         # final polynomial: un-bit-reverse, idft, keep final_poly_len coeffs
-        final_evals = reverse_matrix_index_bits(current)
-        final_coeffs = self.dft.idft_batch(final_evals)
+        if on_host:
+            with jax.default_device(_cpu_dev()):
+                final_evals = reverse_matrix_index_bits(jnp.asarray(current))
+                final_coeffs = self.dft.idft_batch(final_evals)
+        else:
+            final_evals = reverse_matrix_index_bits(current)
+            final_coeffs = self.dft.idft_batch(final_evals)
         final_np = bb.np_from_monty(np.asarray(final_coeffs))
         n_final = 1 << fri.log_final_poly_len
         final_poly = [tuple(int(c) for c in final_np[i]) for i in range(n_final)]

@@ -201,6 +201,18 @@ class Poseidon2Mmcs:
         root = _digest_at(layers[-1], 0)
         return root, ProverData(matrices, salts, layers, root)
 
+    @staticmethod
+    def to_host_data(data: ProverData) -> ProverData:
+        """Re-home a (CPU-built) tree as numpy (FRI host tail, pcs.py
+        OPT-0018).  Matrices/salts stay Monty; layers convert to canonical —
+        the host-layer convention of ``_digest_at``/``open_batch_many_lazy``."""
+        return ProverData(
+            [np.asarray(m) for m in data.matrices],
+            None if data.salts is None else [np.asarray(s) for s in data.salts],
+            [bb.np_from_monty(np.asarray(l)) for l in data.layers],
+            data.root,
+        )
+
     def open_batch(self, index: int, data: ProverData) -> BatchOpening:
         return self.open_batch_many([index], data)[0]
 
@@ -224,10 +236,18 @@ class Poseidon2Mmcs:
         fetch: List = []
         for k, m in enumerate(data.matrices):
             h = int(m.shape[0])
-            rows = jnp.asarray(idx_np >> (log_max - log2_strict(h)))
-            fetch.append(bb.to_u32(m[rows]))
+            rows_np = idx_np >> (log_max - log2_strict(h))
+            if isinstance(m, np.ndarray):  # host tree (FRI host tail, OPT-0018)
+                fetch.append(bb.np_from_monty(m[rows_np]))
+            else:
+                fetch.append(bb.to_u32(m[jnp.asarray(rows_np)]))
             if data.salts is not None:
-                fetch.append(bb.to_u32(data.salts[k][rows]))
+                s = data.salts[k]
+                fetch.append(
+                    bb.np_from_monty(np.asarray(s)[rows_np])
+                    if isinstance(s, np.ndarray)
+                    else bb.to_u32(s[jnp.asarray(rows_np)])
+                )
         cur = idx_np
         for l in range(log_max):
             layer = data.layers[l]

@@ -38,7 +38,12 @@ from . import keccak
 RATE = 17
 RATE_U32 = 2 * RATE  # 34 u32 columns per rate chunk
 _LANES = 128
-_VMEM_IN_BUDGET = 2 * 1024 * 1024  # per input block (double-buffered by pallas)
+def _vmem_in_budget() -> int:
+    """Per-input-block VMEM budget (double-buffered by pallas), from the
+    device policy (backend/policy.py): ~VMEM/8, 2 MiB on 16 MiB cores."""
+    from ..backend.policy import current_policy
+
+    return current_policy().sponge_vmem_in_budget
 
 
 def _round(lo, hi, rc_lo, rc_hi):
@@ -104,7 +109,7 @@ def _batch_rows(n_rows: int, k_cols: int) -> int:
     under the VMEM budget, at least 1 and at most 32 (4096 leaves), and
     no larger than the batch itself."""
     per_row = RATE_U32 * _LANES * 4
-    r = max(1, min(32, _VMEM_IN_BUDGET // per_row))
+    r = max(1, min(32, _vmem_in_budget() // per_row))
     return min(r, max(1, n_rows // _LANES))
 
 

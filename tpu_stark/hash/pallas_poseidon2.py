@@ -39,7 +39,12 @@ WIDTH = 16
 RATE = 8
 OUT = 8
 _LANES = 128
-_VMEM_IN_BUDGET = 2 * 1024 * 1024  # per input block (double-buffered)
+def _vmem_in_budget() -> int:
+    """Per-input-block VMEM budget (double-buffered), from the device policy
+    (backend/policy.py): ~VMEM/8, 2 MiB on 16 MiB cores."""
+    from ..backend.policy import current_policy
+
+    return current_policy().sponge_vmem_in_budget
 
 
 def _permute_lanes(lanes, n_ext: int, n_int: int):
@@ -94,7 +99,7 @@ def _sponge_kernel(x_ref, o_ref, st_ref, *, rate: int, n_items: int,
 def _batch_rows(n_rows: int) -> int:
     """Sublane rows R per batch block (same policy as pallas_keccak)."""
     per_row = RATE * _LANES * 4
-    r = max(1, min(32, _VMEM_IN_BUDGET // per_row))
+    r = max(1, min(32, _vmem_in_budget() // per_row))
     return min(r, max(1, n_rows // _LANES))
 
 

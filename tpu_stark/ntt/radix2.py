@@ -72,8 +72,14 @@ def _dit_core(log_h: int, x: jnp.ndarray, *twiddles: jnp.ndarray) -> jnp.ndarray
     return x
 
 
-_NARROW_MAX_W = 32
-_NARROW_MIN_LOGH = 16
+def _narrow_gates() -> tuple:
+    """(max_w, min_logh) for the four-step reroute, from the device policy
+    (backend/policy.py — the reference's hard-coded fused-stage gates turned
+    device-adaptive per SURVEY.md par5.6)."""
+    from ..backend.policy import current_policy
+
+    p = current_policy()
+    return p.ntt_narrow_max_w, p.ntt_narrow_min_logh
 
 
 @functools.lru_cache(maxsize=None)
@@ -133,7 +139,8 @@ def _narrow_mode(h: int, w: int) -> str | None:
     env = os.environ.get("TPU_STARK_NTT_NARROW", "vpu4")
     if env in ("0", "false", "off"):
         return None
-    if w > _NARROW_MAX_W or h < (1 << _NARROW_MIN_LOGH):
+    max_w, min_logh = _narrow_gates()
+    if w > max_w or h < (1 << min_logh):
         return None
     import jax
 
