@@ -48,28 +48,52 @@ class TestMxuMatchesRadix2:
 
 
 class TestNarrowDispatchPolicy:
-    def test_thresholds(self, monkeypatch):
-        # default OFF (end-to-end regression, OPT-0011 addendum)
-        monkeypatch.delenv("TPU_STARK_NTT_NARROW", raising=False)
-        assert not radix2._use_mxu_narrow(1 << 22, 2)
-        monkeypatch.setenv("TPU_STARK_NTT_NARROW", "0")
-        assert not radix2._use_mxu_narrow(1 << 22, 2)
-        # opt-in: shape-gated, and never on the CPU backend (the suite runs
-        # on CPU so the accelerator branch itself is exercised on TPU runs)
-        monkeypatch.setenv("TPU_STARK_NTT_NARROW", "1")
-        assert not radix2._use_mxu_narrow(1 << 22, 128)  # too wide
-        assert not radix2._use_mxu_narrow(1 << 10, 2)  # too short
+    """Dispatch policy after OPT-0016: _narrow_mode returns None (plain stage
+    loop), "vpu4" (default four-step reroute), or "mxu" (opt-in study path)."""
+
+    def test_off_modes(self, monkeypatch):
+        for off in ("0", "false", "off"):
+            monkeypatch.setenv("TPU_STARK_NTT_NARROW", off)
+            assert radix2._narrow_mode(1 << 22, 2) is None
+
+    def test_shape_gates(self, monkeypatch):
+        monkeypatch.setenv("TPU_STARK_NTT_NARROW", "vpu4")
+        max_w, min_logh = radix2._narrow_gates()
+        assert radix2._narrow_mode(1 << min_logh, max_w + 1) is None  # too wide
+        assert radix2._narrow_mode(1 << (min_logh - 1), 2) is None  # too short
+
+    def test_default_route_is_vpu4_on_accelerators(self, monkeypatch):
+        # never on the CPU backend (the suite runs on CPU so the accelerator
+        # branch itself is exercised on TPU runs)
         import jax
 
-        expected = jax.default_backend() != "cpu"
-        assert radix2._use_mxu_narrow(1 << 22, 2) == expected
+        on_accel = jax.default_backend() != "cpu"
+        monkeypatch.delenv("TPU_STARK_NTT_NARROW", raising=False)
+        want = "vpu4" if on_accel else None
+        assert radix2._narrow_mode(1 << 22, 2) == want
+        # mxu only via explicit opt-in
+        monkeypatch.setenv("TPU_STARK_NTT_NARROW", "mxu")
+        want = "mxu" if on_accel else None
+        assert radix2._narrow_mode(1 << 22, 2) == want
 
-    def test_forced_narrow_path_matches(self, monkeypatch):
-        """Force the dispatch on (CPU-safe: XLA matmul variant) and check the
+    def test_forced_vpu4_path_matches(self, monkeypatch):
+        """Force the vpu4 dispatch (CPU-safe) and check the public dft_batch /
+        idft_batch outputs are unchanged vs the plain stage loop."""
+        mat = _rand(1 << 12, 2)
+        want = np.asarray(radix2._dit_core(12, mat, *radix2._stage_twiddles(12, False)))
+        monkeypatch.setattr(radix2, "_narrow_mode", lambda h, w: "vpu4")
+        got = np.asarray(radix2.dft_batch(mat))
+        np.testing.assert_array_equal(got, want)
+        # inverse roundtrips through the four-step too
+        back = np.asarray(radix2.idft_batch(jnp.asarray(got)))
+        np.testing.assert_array_equal(back, np.asarray(mat))
+
+    def test_forced_mxu_path_matches(self, monkeypatch):
+        """Force the mxu dispatch (CPU-safe: XLA matmul variant) and check the
         public dft_batch output is unchanged."""
         mat = _rand(1024, 2)
-        want = np.asarray(radix2.dft_batch(mat))
-        monkeypatch.setattr(radix2, "_use_mxu_narrow", lambda h, w: True)
+        want = np.asarray(radix2._dit_core(10, mat, *radix2._stage_twiddles(10, False)))
+        monkeypatch.setattr(radix2, "_narrow_mode", lambda h, w: "mxu")
         # on CPU use_pallas would fail; patch mxu entry to the XLA variant
         import tpu_stark.ntt.mxu_ntt as m
 

@@ -88,6 +88,29 @@ class TestFibAirZk:
         proof = prove(config, air, trace, [0, 1, x])
         assert verify(create_config(zk=True, backend="cpu"), air, proof, [0, 1, x])
 
+    def test_nonzero_final_poly_len(self):
+        """FRI may stop folding early and ship a longer final polynomial:
+        log_final_poly_len > 0 raises log_min (pcs.py:475), shortens the
+        commit phase, and the verifier evaluates the shipped coefficients."""
+        from tpu_stark.fri.config import FriParameters
+
+        air = FibonacciAir()
+        n = 64
+        x = fibonacci_value(0, 1, n)
+        trace = generate_trace_rows(0, 1, n)
+        fri = FriParameters(
+            log_blowup=2, log_final_poly_len=2, num_queries=2, proof_of_work_bits=1
+        )
+        proof = prove(create_config(fri, zk=True, backend="cpu"), air, trace, [0, 1, x])
+        fp = proof.opening_proof
+        assert len(fp.final_poly) == 4  # 2^log_final_poly_len
+        assert verify(create_config(fri, zk=True, backend="cpu"), air, proof, [0, 1, x])
+        # shipping fewer folds must not weaken the check: tampered final poly
+        fp.final_poly[1] = tuple((c + 1) % 2013265921 for c in fp.final_poly[1])
+        assert not verify(
+            create_config(fri, zk=True, backend="cpu"), air, proof, [0, 1, x]
+        )
+
     def test_zk_proofs_do_not_leak_trace(self):
         """Opened trace values under zk differ from the plain trace polynomial's
         values (the randomizer actually masks)."""

@@ -20,8 +20,11 @@ Semantics follow p3-challenger:
   SURVEY.md par3.1); ``check_witness`` is the verifier side.
 
 This is intentionally sequential scalar code — the transcript is a latency
-tail, not a throughput kernel (SURVEY.md par7.2); batched grinding runs on
-device elsewhere.
+tail, not a throughput kernel (SURVEY.md par7.2).  The one exception is
+``grind``: at production proof_of_work_bits the witness search is a
+throughput problem, so it dispatches to the device-batched vectorized search
+in ``grind.py`` (chunked Keccak over candidate witnesses) and keeps the
+scalar loop only as the low-bits fast path and differential oracle.
 """
 
 from __future__ import annotations
@@ -114,10 +117,37 @@ class Challenger:
         """Find the smallest canonical witness passing check_witness.  The
         verifier only re-checks the shipped witness, so the search order is
         free; smallest-first makes proofs deterministic (the reference's rayon
-        ``find_any`` is not)."""
+        ``find_any`` is not).
+
+        Dispatch: bits >= _GRIND_DEVICE_MIN_BITS runs the device-batched
+        vectorized search (grind.py) — one jitted Keccak over a whole chunk of
+        candidates; below that (or TPU_STARK_GRIND=host) the expected scalar
+        work (~2^bits hashes) is cheaper than a device dispatch."""
+        import os
+
+        mode = os.environ.get("TPU_STARK_GRIND", "")
+        use_device = mode != "host" and (bits >= _GRIND_DEVICE_MIN_BITS or mode == "device")
+        if use_device:
+            from .grind import device_grind
+
+            w = device_grind(
+                bytes(self.inner._input),
+                bits,
+                host_check=lambda cand: self.clone().check_witness(bits, cand),
+            )
+            if w is not None:
+                self.observe_u32(w)
+                assert self.sample_bits(bits) == 0
+                return w
         for w in range(bb.P):
             if self.clone().check_witness(bits, w):
                 self.observe_u32(w)
                 assert self.sample_bits(bits) == 0
                 return w
         raise RuntimeError("grinding failed (unreachable)")
+
+
+# Below this, a chunked device search costs more in dispatch than ~2^bits
+# scalar hashes; measured crossover is a few bits on CPU-jax, higher on the
+# tunneled TPU — 6 keeps the test config (1 bit) scalar on every backend.
+_GRIND_DEVICE_MIN_BITS = 6
