@@ -2,8 +2,10 @@
 metric: "fib_air prove wall-clock at 2^20 trace").
 
 Not the driver entry point (bench.py) — run manually:
-    python bench_prove.py [log_n] [keccak|poseidon2] [zk|plain]
-Prints phase timings + one summary JSON line.
+    python bench_prove.py [log_n] [keccak|poseidon2] [zk|plain] [reps] [test|bench]
+``test`` = create_test_fri_params (2 queries, 1 PoW bit — reference parity,
+fib_air.rs:62); ``bench`` = create_benchmark_fri_params (100 queries, 16 PoW
+bits — production grade). Prints phase timings + one summary JSON line.
 """
 
 from __future__ import annotations
@@ -22,9 +24,19 @@ def main() -> None:
     zk = (sys.argv[3] if len(sys.argv) > 3 else "zk") == "zk"
 
     from tpu_stark.air.fibonacci import FibonacciAir, fibonacci_value, generate_trace_rows
+    from tpu_stark.fri.config import create_benchmark_fri_params, create_test_fri_params
     from tpu_stark.prover.config import create_config
     from tpu_stark.prover.prove import prove
     from tpu_stark.prover.verify import verify
+
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    params = sys.argv[5] if len(sys.argv) > 5 else "test"
+    # test params keep log_blowup=2 parity with the reference; production
+    # uses log_blowup=1 + 100 queries + 16 grind bits (fri/config.py)
+    fri = create_test_fri_params(2) if params == "test" else create_benchmark_fri_params(1)
+
+    def config():
+        return create_config(fri, zk=zk, hash=hash_stack)
 
     n = 1 << log_n
     t0 = time.time()
@@ -33,14 +45,12 @@ def main() -> None:
     pis = [0, 1, x]
     t_tracegen = time.time() - t0
 
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-
     air = FibonacciAir()
     # warm run (compiles), then `reps` timed runs — the tunnel TPU is shared
     # infrastructure and individual wall-clocks drift; report every sample,
     # headline the min (least-contended)
     t0 = time.time()
-    proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
+    proof = prove(config(), air, trace, pis)
     t_first = time.time() - t0
     samples = []
     from tpu_stark.bench.profiling import env_trace_dir, maybe_trace
@@ -48,10 +58,10 @@ def main() -> None:
     with maybe_trace(env_trace_dir()):  # TPU_STARK_PROFILE=<dir> for a device trace
         for _ in range(reps):
             t0 = time.time()
-            proof = prove(create_config(zk=zk, hash=hash_stack), air, trace, pis)
+            proof = prove(config(), air, trace, pis)
             samples.append(round(time.time() - t0, 3))
     t0 = time.time()
-    ok = verify(create_config(zk=zk, hash=hash_stack), air, proof, pis)
+    ok = verify(config(), air, proof, pis)
     t_verify = time.time() - t0
     assert ok, "verification failed"
 
@@ -61,7 +71,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"fib_air_{'zk' if zk else 'plain'}_prove_2^{log_n}_{hash_stack}",
+                "metric": f"fib_air_{'zk' if zk else 'plain'}_prove_2^{log_n}_{hash_stack}_{params}",
                 "value": min(samples),
                 "unit": "s",
                 "samples": samples,
