@@ -48,16 +48,39 @@ def main() -> None:
     dt = best / reps
     melems = h * w / dt / 1e6
 
-    print(
-        json.dumps(
-            {
-                "metric": "babybear_ntt_kernel_16384x128",
-                "value": round(melems, 1),
-                "unit": "Melems/s",
-                "vs_baseline": round(melems / BASELINE_MELEMS, 2),
-            }
-        )
-    )
+    # Per-kernel speed-of-light report (BASELINE/SURVEY par5.1 requirement):
+    # measured device roofs (montmul/bitop/HBM) + achieved rates -> %-of-roof.
+    # Human-readable table goes to stderr; the driver's stdout stays one JSON
+    # line.  Failure-proofed: SoL never sinks the headline metric.
+    sol_compact = None
+    try:
+        import contextlib
+        import sys
+
+        from tpu_stark.bench import sol
+
+        with contextlib.redirect_stdout(sys.stderr):
+            rep = sol.run()
+        sol_compact = {
+            "roofs": {k: round(v, 1) for k, v in rep["roofs"].items()},
+            "kernels": {
+                k["kernel"]: round(k["sol_pct"], 1) for k in rep["kernels"]
+            },
+        }
+    except Exception as e:  # noqa: BLE001 — report without SoL rather than die
+        import sys
+
+        print(f"sol report failed: {e!r}", file=sys.stderr)
+
+    out = {
+        "metric": "babybear_ntt_kernel_16384x128",
+        "value": round(melems, 1),
+        "unit": "Melems/s",
+        "vs_baseline": round(melems / BASELINE_MELEMS, 2),
+    }
+    if sol_compact is not None:
+        out["sol_pct_of_roof"] = sol_compact
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

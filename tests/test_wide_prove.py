@@ -1,0 +1,136 @@
+"""Streaming wide-trace prover (prover/wide.py) — differential vs dense.
+
+The streaming path must be byte-identical to the dense prover wherever both
+fit: same Merkle roots chunk-streamed vs one-shot, same quotient values
+partition-streamed vs full-width, same transcript, same proof bytes.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_stark.air.keccak_air import KeccakAir, generate_trace
+from tpu_stark.commit.poseidon2_mmcs import Poseidon2Mmcs, hash_rows_batched
+from tpu_stark.fields import babybear as bb
+from tpu_stark.prover.config import create_config
+from tpu_stark.prover.verify import verify
+from tpu_stark.prover.wide import (
+    WideMatrixSource,
+    _absorb_chunk,
+    commit_wide,
+    partition_counts,
+    prove_wide,
+)
+
+
+def test_partition_counts_cover_all_constraints():
+    from tpu_stark.air.air import get_symbolic_info
+
+    air = KeccakAir()
+    total, _ = get_symbolic_info(air, 0)
+    assert sum(partition_counts(air, 0)) == total
+
+
+def test_partition_columns_are_sufficient():
+    """Every partition must run against a sparse view holding only its
+    declared columns — a foreign column access raises (None arithmetic)."""
+    import jax.numpy as jnp
+
+    from tpu_stark.air.values import DevVal
+    from tpu_stark.prover.wide import _PartitionBuilder
+
+    air = KeccakAir()
+    n = 8
+    sel = {
+        "is_first_row": bb.monty_ones((n,)),
+        "is_last_row": bb.monty_ones((n,)),
+        "is_transition": bb.monty_ones((n,)),
+    }
+    for part in air.partitions():
+        lde = bb.monty_ones((n, len(part.local_cols)))
+        nxt = bb.monty_ones((n, max(1, len(part.next_cols))))[
+            :, : len(part.next_cols)
+        ]
+        b = _PartitionBuilder(lde, nxt, part.local_cols, part.next_cols, sel, [])
+        part.eval(b)  # raises if the declared footprint is too small
+        assert b.constraint_count > 0
+
+
+def test_streamed_absorb_matches_batched_hash():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    mat = jnp.asarray(
+        rng.integers(0, bb.P, size=(32, 52), dtype=np.uint32)
+    )
+    want = hash_rows_batched(mat)
+    state = jnp.zeros((32, 16), dtype=bb.u32)
+    for off, wc in ((0, 16), (16, 16), (32, 16), (48, 4)):
+        state = _absorb_chunk(state, mat[:, off : off + wc])
+    got = state[:, :8]
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_streamed_commit_root_matches_dense():
+    from tpu_stark.commit.pcs import TwoAdicFriPcs
+    from tpu_stark.fri.config import create_test_fri_params
+    from tpu_stark.ntt.dft import Dft
+
+    rng = np.random.default_rng(3)
+    trace = rng.integers(0, 2, size=(64, 40), dtype=np.uint32)
+    pcs = TwoAdicFriPcs(
+        Dft(backend="cpu"), create_test_fri_params(2), Poseidon2Mmcs(),
+        Poseidon2Mmcs(),
+    )
+    domain = pcs.natural_domain_for_degree(64)
+    import jax.numpy as jnp
+
+    dense_root, _ = pcs.commit(
+        [(domain, jnp.asarray(bb.np_to_monty(trace)))]
+    )
+    src = WideMatrixSource(
+        trace.astype(np.uint8), pcs.dft, pcs.fri.log_blowup, domain,
+        col_chunk=16,
+    )
+    wide_root, data = commit_wide(pcs, domain, src)
+    assert tuple(dense_root) == tuple(wide_root)
+    # row gather returns real LDE rows
+    rows = src[np.array([0, 5, 255])]
+    assert rows.shape == (3, 40)
+
+
+@pytest.mark.slow
+def test_wide_prove_matches_dense_and_verifies():
+    from tpu_stark.prover.prove import prove
+    from tpu_stark.prover.proof import serialize_proof
+
+    air = KeccakAir()
+    trace = generate_trace(num_perms=2, seed=5)
+
+    def cfg():
+        return create_config(zk=False, backend="cpu", hash="poseidon2")
+
+    import os
+
+    os.environ["TPU_STARK_WIDE_CHUNK"] = "1024"
+    try:
+        p_wide = prove_wide(cfg(), air, trace.astype(np.uint8), [])
+        assert verify(cfg(), air, p_wide, [])
+        p_dense = prove(cfg(), air, trace, [])
+        assert serialize_proof(p_dense) == serialize_proof(p_wide)
+    finally:
+        del os.environ["TPU_STARK_WIDE_CHUNK"]
+
+
+@pytest.mark.slow
+def test_wide_prove_tampered_trace_rejected():
+    air = KeccakAir()
+    trace = generate_trace(num_perms=2, seed=6).astype(np.uint8)
+    from tpu_stark.air.keccak_air import A_OFF
+
+    trace[10, A_OFF + 123] ^= 1
+
+    def cfg():
+        return create_config(zk=False, backend="cpu", hash="poseidon2")
+
+    proof = prove_wide(cfg(), air, trace, [])
+    assert not verify(cfg(), air, proof, [])

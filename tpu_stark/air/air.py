@@ -33,6 +33,14 @@ class BaseAir:
     def eval(self, builder: "AirBuilder") -> None:
         raise NotImplementedError
 
+    def partitions(self):
+        """Optional ordered column-partition of the constraint sequence (see
+        air.keccak_air.Partition): lets the streaming prover (prover/wide.py)
+        evaluate the quotient per partition without materializing the full
+        (quotient domain x width) trace.  ``None`` = not partitioned; the
+        dense quotient pass is the only prover path."""
+        return None
+
 
 class _Filtered:
     """Constraint sub-builder under a multiplicative selector condition."""

@@ -110,105 +110,244 @@ _CHI_B1 = _chi_operand_idx(1)
 _CHI_B2 = _chi_operand_idx(2)
 
 
+def _xor2(u, v):
+    return u + v - 2 * u * v
+
+
+class Partition:
+    """One column-partitioned slice of the AIR's constraint sequence.
+
+    The canonical ``eval`` is the ordered concatenation of every partition's
+    ``eval`` — prover (vectorized, possibly streamed per partition) and
+    verifier (at zeta) replay the identical constraint order.  ``local_cols``
+    / ``next_cols`` are the exact global column footprint, so a streaming
+    prover (prover/wide.py) can low-degree-extend ONLY those columns per
+    partition instead of materializing the full (quotient-domain x width)
+    trace — the wide-AIR analog of SURVEY.md par7.2's streaming note."""
+
+    def __init__(self, name, local_cols, next_cols, eval_fn):
+        self.name = name
+        self.local_cols = np.asarray(local_cols, dtype=np.int64)
+        self.next_cols = np.asarray(next_cols, dtype=np.int64)
+        self.eval = eval_fn
+
+
+def _p_flags(b: AirBuilder) -> None:
+    local = b.main_row(0)
+    nxt = b.main_row(1)
+    f = local[F_OFF : F_OFF + NUM_ROUNDS]
+    first = b.when_first_row()
+    first.assert_eq(f[0], 1)
+    for r in range(1, NUM_ROUNDS):
+        first.assert_zero(f[r])
+    for r in range(NUM_ROUNDS):
+        b.assert_zero(f[r] * (f[r] - 1))
+    tot = f[0]
+    for r in range(1, NUM_ROUNDS):
+        tot = tot + f[r]
+    b.assert_eq(tot, 1)
+    trans = b.when_transition()
+    nf = nxt[F_OFF : F_OFF + NUM_ROUNDS]
+    for r in range(NUM_ROUNDS):
+        trans.assert_eq(nf[r], f[(r - 1) % NUM_ROUNDS])
+
+
+def _p_bool(idx):
+    def fn(b: AirBuilder) -> None:
+        v = b.main_cols(0, idx)
+        b.assert_zero(v * (v - 1))
+
+    return fn
+
+
+def _p_theta(x: int):
+    a_rows = [
+        np.array([_a_col(x + 5 * y, z) for z in range(Z)]) for y in range(5)
+    ]
+    c_row = np.array([_c_col(x, z) for z in range(Z)])
+
+    def fn(b: AirBuilder) -> None:
+        s = b.main_cols(0, a_rows[0])
+        for y in range(1, 5):
+            s = s + b.main_cols(0, a_rows[y])
+        diff = s - b.main_cols(0, c_row)
+        b.assert_zero(diff * (diff - 2) * (diff - 4))
+
+    return fn, np.concatenate(a_rows + [c_row])
+
+
+def _p_apdef(x: int):
+    lanes = [x + 5 * y for y in range(5)]
+    a_idx = np.array([_a_col(l, z) for l in lanes for z in range(Z)])
+    ap_idx = np.array([_ap_col(l, z) for l in lanes for z in range(Z)])
+    d_left = np.array([_c_col((x - 1) % 5, z) for z in range(Z)])
+    d_right = np.array([_c_col((x + 1) % 5, (z - 1) % Z) for z in range(Z)])
+    tile = np.tile(np.arange(Z), 5)
+
+    def fn(b: AirBuilder) -> None:
+        d = _xor2(b.main_cols(0, d_left), b.main_cols(0, d_right))  # (64,)
+        d_full = d.take(tile)  # (320,) lane-major over this x's 5 lanes
+        a_vec = b.main_cols(0, a_idx)
+        b.assert_eq(b.main_cols(0, ap_idx), _xor2(a_vec, d_full))
+
+    cols = np.concatenate([a_idx, ap_idx, d_left, d_right])
+    return fn, cols
+
+
+def _chi_at(b: AirBuilder, dst: int):
+    """chi output vector (64,) for destination lane ``dst`` from A'."""
+    sl = slice(dst * Z, (dst + 1) * Z)
+    b0 = b.main_cols(0, _CHI_B0[sl])
+    b1 = b.main_cols(0, _CHI_B1[sl])
+    b2 = b.main_cols(0, _CHI_B2[sl])
+    t = (1 - b1) * b2
+    return b0 + t - 2 * b0 * t
+
+
+def _p_chi00def(b: AirBuilder) -> None:
+    b.assert_eq(b.main_cols(0, _CHI00_IDX), _chi_at(b, 0))
+
+
+def _p_iota(b: AirBuilder) -> None:
+    local = b.main_row(0)
+    nxt = b.main_row(1)
+    f = local[F_OFF : F_OFF + NUM_ROUNDS]
+    gate = b.when_transition().when(1 - f[NUM_ROUNDS - 1])
+    for z in range(Z):
+        rc = None
+        for r in range(NUM_ROUNDS):
+            if (ROUND_CONSTANTS[r] >> z) & 1:
+                rc = f[r] if rc is None else rc + f[r]
+        out00 = local[CHI00_OFF + z]
+        if rc is None:
+            gate.assert_eq(nxt[_a_col(0, z)], out00)
+        else:
+            gate.assert_eq(nxt[_a_col(0, z)], _xor2(out00, rc))
+
+
+def _p_trans(dst: int):
+    next_idx = np.array([_a_col(dst, z) for z in range(Z)])
+
+    def fn(b: AirBuilder) -> None:
+        f_last = b.main_row(0)[F_OFF + NUM_ROUNDS - 1]
+        gate = b.when_transition().when(1 - f_last)
+        gate.assert_eq(b.main_cols(1, next_idx), _chi_at(b, dst))
+
+    sl = slice(dst * Z, (dst + 1) * Z)
+    local = np.unique(
+        np.concatenate([_CHI_B0[sl], _CHI_B1[sl], _CHI_B2[sl],
+                        [F_OFF + NUM_ROUNDS - 1]])
+    )
+    return fn, local, next_idx
+
+
+def _build_partitions() -> List[Partition]:
+    f_idx = np.arange(F_OFF, F_OFF + NUM_ROUNDS)
+    parts = [Partition("flags", f_idx, f_idx, _p_flags)]
+    for g in range(5):  # booleanity of a, 5 consecutive lanes per partition
+        idx = _A_IDX[g * 5 * Z : (g + 1) * 5 * Z]
+        parts.append(Partition(f"bool_a{g}", idx, [], _p_bool(idx)))
+    for g in range(5):
+        idx = _AP_IDX[g * 5 * Z : (g + 1) * 5 * Z]
+        parts.append(Partition(f"bool_ap{g}", idx, [], _p_bool(idx)))
+    idx = np.concatenate([_C_IDX, _CHI00_IDX])
+    parts.append(Partition("bool_c_chi", idx, [], _p_bool(idx)))
+    for x in range(5):
+        fn, cols = _p_theta(x)
+        parts.append(Partition(f"theta{x}", np.unique(cols), [], fn))
+    for x in range(5):
+        fn, cols = _p_apdef(x)
+        parts.append(Partition(f"apdef{x}", np.unique(cols), [], fn))
+    chi_cols = np.unique(
+        np.concatenate([_CHI_B0[:Z], _CHI_B1[:Z], _CHI_B2[:Z], _CHI00_IDX])
+    )
+    parts.append(Partition("chi00def", chi_cols, [], _p_chi00def))
+    parts.append(
+        Partition(
+            "iota",
+            np.unique(np.concatenate([f_idx, _CHI00_IDX])),
+            np.array([_a_col(0, z) for z in range(Z)]),
+            _p_iota,
+        )
+    )
+    for dst in range(1, LANES):
+        fn, local, nxt = _p_trans(dst)
+        parts.append(Partition(f"trans{dst}", local, nxt, fn))
+    return parts
+
+
+_PARTITIONS: List[Partition] = _build_partitions()
+
+
 class KeccakAir(BaseAir):
     width = COLS
 
+    def partitions(self) -> List[Partition]:
+        return _PARTITIONS
+
     def eval(self, b: AirBuilder) -> None:
-        local = b.main_row(0)
-        nxt = b.main_row(1)
-        f = local[F_OFF : F_OFF + NUM_ROUNDS]
-
-        def xor2(u, v):
-            return u + v - 2 * u * v
-
-        # -- flags (scalar: only 24 columns) -------------------------------
-        first = b.when_first_row()
-        first.assert_eq(f[0], 1)
-        for r in range(1, NUM_ROUNDS):
-            first.assert_zero(f[r])
-        for r in range(NUM_ROUNDS):
-            b.assert_zero(f[r] * (f[r] - 1))
-        tot = f[0]
-        for r in range(1, NUM_ROUNDS):
-            tot = tot + f[r]
-        b.assert_eq(tot, 1)
-        trans = b.when_transition()
-        nf = nxt[F_OFF : F_OFF + NUM_ROUNDS]
-        for r in range(NUM_ROUNDS):
-            trans.assert_eq(nf[r], f[(r - 1) % NUM_ROUNDS])
-
-        # -- booleanity (vectorized) ---------------------------------------
-        for idx in (_A_IDX, _AP_IDX, _C_IDX, _CHI00_IDX):
-            v = b.main_cols(0, idx)
-            b.assert_zero(v * (v - 1))
-
-        # -- theta parity: (sum_y a - c)(sum - c - 2)(sum - c - 4) ---------
-        s = b.main_cols(0, _THETA_A[0])
-        for y in range(1, 5):
-            s = s + b.main_cols(0, _THETA_A[y])
-        diff = s - b.main_cols(0, _C_IDX)
-        b.assert_zero(diff * (diff - 2) * (diff - 4))
-
-        # -- A' = a xor d ---------------------------------------------------
-        d = xor2(b.main_cols(0, _D_LEFT), b.main_cols(0, _D_RIGHT))  # (320,)
-        d_full = d.take(_D_EXPAND)  # lane-major (1600,)
-        a_vec = b.main_cols(0, _A_IDX)
-        b.assert_eq(b.main_cols(0, _AP_IDX), xor2(a_vec, d_full))
-
-        # -- chi over the rho/pi relabeling of A' (vectorized) -------------
-        b0 = b.main_cols(0, _CHI_B0)
-        b1 = b.main_cols(0, _CHI_B1)
-        b2 = b.main_cols(0, _CHI_B2)
-        t = (1 - b1) * b2
-        chi_vec = b0 + t - 2 * b0 * t  # (1600,) dst lane-major
-
-        b.assert_eq(b.main_cols(0, _CHI00_IDX), chi_vec.take(np.arange(Z)))
-
-        # -- round transition ----------------------------------------------
-        not_last_round = 1 - f[NUM_ROUNDS - 1]
-        gate = b.when_transition().when(not_last_round)
-        # lane (0,0): iota — rc bit linear in flags (scalar loop over z)
-        for z in range(Z):
-            rc = None
-            for r in range(NUM_ROUNDS):
-                if (ROUND_CONSTANTS[r] >> z) & 1:
-                    rc = f[r] if rc is None else rc + f[r]
-            out00 = local[CHI00_OFF + z]
-            if rc is None:
-                gate.assert_eq(nxt[_a_col(0, z)], out00)
-            else:
-                gate.assert_eq(nxt[_a_col(0, z)], xor2(out00, rc))
-        # remaining lanes in one vector constraint
-        gate.assert_eq(
-            b.main_cols(1, _A_IDX[Z:]), chi_vec.take(np.arange(Z, LANES * Z))
-        )
+        for part in _PARTITIONS:
+            part.eval(b)
 
 
 # ---------------------------------------------------------------------------
 # Trace generation (vectorized bit expansion over permutations)
 # ---------------------------------------------------------------------------
-def generate_trace(num_perms: int, seed: int = 0) -> np.ndarray:
-    """(num_perms * 24, COLS) canonical uint32 trace of random permutations.
-    num_perms * 24 is padded... the caller must make the height a power of two
-    by choosing num_perms accordingly is NOT possible (24 ∤ 2^k): the last
-    partial permutation window is simply truncated — rows after the final
-    flag_23 row restart mid-chain, which the AIR permits (fresh input rows).
+def generate_trace(num_perms: int, seed: int = 0, dtype=np.uint32) -> np.ndarray:
+    """(next_pow2(num_perms * 24), COLS) canonical trace of random
+    permutations.  24 ∤ 2^k, so the final partial permutation window is
+    truncated — rows after the last flag_23 row restart mid-chain, which the
+    AIR permits (fresh-input rows).
+
+    All values are bits; pass ``dtype=np.uint8`` for the streaming prover's
+    compact host/device trace (prover/wide.py) — 1/4 the bytes at 2^20 rows
+    (0.9 GB vs 15 GB makes the difference between fitting in HBM and not).
+
+    Vectorized over permutations: one u64 numpy Keccak round for every window
+    at once, then a broadcast bit-unpack straight into the trace buffer.
     """
     rng = np.random.default_rng(seed)
-    n_rows_pow2 = 1 << (int(np.ceil(np.log2(max(num_perms * NUM_ROUNDS, 2)))))
-    total_perms = (n_rows_pow2 + NUM_ROUNDS - 1) // NUM_ROUNDS
-    trace = np.zeros((n_rows_pow2, COLS), dtype=np.uint32)
+    n_rows = 1 << (int(np.ceil(np.log2(max(num_perms * NUM_ROUNDS, 2)))))
+    n_perms = (n_rows + NUM_ROUNDS - 1) // NUM_ROUNDS
+    trace = np.zeros((n_perms * NUM_ROUNDS, COLS), dtype=dtype)
+    states = rng.integers(0, 1 << 64, size=(n_perms, LANES), dtype=np.uint64)
+    zbits = np.arange(Z, dtype=np.uint64)
 
-    row = 0
-    for p in range(total_perms):
-        state = [int(x) for x in rng.integers(0, 1 << 64, size=LANES, dtype=np.uint64)]
-        for r in range(NUM_ROUNDS):
-            if row >= n_rows_pow2:
-                break
-            _fill_row(trace[row], r, state)
-            state = _one_round(state, r)
-            row += 1
-    return trace
+    def unpack(vals: np.ndarray) -> np.ndarray:
+        # (P, k) u64 -> (P, k*Z) bits, z minor
+        return ((vals[:, :, None] >> zbits) & 1).reshape(n_perms, -1)
+
+    rows = np.arange(n_perms) * NUM_ROUNDS
+    for r in range(NUM_ROUNDS):
+        trace[rows + r, F_OFF + r] = 1
+        trace[rows + r, A_OFF : A_OFF + LANES * Z] = unpack(states)
+        c = (
+            states[:, 0:5]
+            ^ states[:, 5:10]
+            ^ states[:, 10:15]
+            ^ states[:, 15:20]
+            ^ states[:, 20:25]
+        )
+        trace[rows + r, C_OFF : C_OFF + 5 * Z] = unpack(c)
+        c1 = c[:, [(x + 1) % 5 for x in range(5)]]
+        d = c[:, [(x - 1) % 5 for x in range(5)]] ^ ((c1 << np.uint64(1)) | (c1 >> np.uint64(63)))
+        ap = states ^ d[:, [l % 5 for l in range(LANES)]]
+        trace[rows + r, AP_OFF : AP_OFF + LANES * Z] = unpack(ap)
+        src = ap[:, _PI_SRC]
+        rot = _PI_ROT.astype(np.uint64)
+        bmat = (src << rot) | (src >> ((Z - rot) % Z))
+        chi00 = bmat[:, 0] ^ (~bmat[:, 1] & bmat[:, 2])
+        trace[rows + r, CHI00_OFF : CHI00_OFF + Z] = unpack(chi00[:, None])
+        # advance every window one round (chi + iota on all lanes)
+        out = np.empty_like(bmat)
+        for i in range(LANES):
+            out[:, i] = bmat[:, i] ^ (
+                ~bmat[:, (i // 5) * 5 + (i + 1) % 5]
+                & bmat[:, (i // 5) * 5 + (i + 2) % 5]
+            )
+        out[:, 0] ^= np.uint64(ROUND_CONSTANTS[r])
+        states = out
+    return trace[:n_rows]
 
 
 def _one_round(state: List[int], r: int) -> List[int]:

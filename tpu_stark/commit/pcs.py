@@ -375,11 +375,14 @@ class TwoAdicFriPcs:
         eval_dev: List[jnp.ndarray] = []
         for data, points in rounds:
             for m_idx, mat_points in enumerate(points):
-                h = int(data.r_coeffs[m_idx].shape[0])
+                rc = data.r_coeffs[m_idx]
                 for zeta in mat_points:
                     z_y = rf.escale(zeta, gen_inv)
-                    zpow = ext4.powers_device(z_y, h)
-                    eval_dev.append(_eval_at_point(data.r_coeffs[m_idx], zpow))
+                    if hasattr(rc, "eval_at_point"):  # streamed wide matrix
+                        eval_dev.append(rc.eval_at_point(z_y))
+                    else:
+                        zpow = ext4.powers_device(z_y, int(rc.shape[0]))
+                        eval_dev.append(_eval_at_point(rc, zpow))
         eval_host = iter(jax.device_get(eval_dev))
         eval_queue = iter(eval_dev)
         opened_values: OpenedValues = []
@@ -434,7 +437,15 @@ class TwoAdicFriPcs:
             ro[log_h] = ext4.zero((1 << log_h,))
             groups: List[list] = []
             for job in hjobs:
-                if groups and job[0] is not None and groups[-1][-1][0] == job[0]:
+                wide = hasattr(job[1], "reduced_contrib") or (
+                    groups and hasattr(groups[-1][-1][1], "reduced_contrib")
+                )
+                if (
+                    groups
+                    and job[0] is not None
+                    and groups[-1][-1][0] == job[0]
+                    and not wide  # streamed matrices never merge
+                ):
                     groups[-1].append(job)
                 else:
                     groups.append([job])
@@ -445,6 +456,10 @@ class TwoAdicFriPcs:
                 apows = _alpha_pows_dev(alpha, off, w_total)
                 if z_y is None:
                     contrib = _combine_columns(grp[0][1], apows)
+                elif hasattr(grp[0][1], "reduced_contrib"):  # streamed wide
+                    contrib = grp[0][1].reduced_contrib(
+                        apows, grp[0][2], ext4.scalar(z_y), y_br
+                    )
                 else:
                     mat = (
                         grp[0][1]

@@ -164,11 +164,30 @@ def _keccak_impl() -> str:
     return "pallas" if jax.default_backend() != "cpu" else "xla"
 
 
+def _hash_block_rows() -> int:
+    """Row-block bound for one leaf-hash launch.  The Pallas kernel pads each
+    row to a whole 34-u32 rate block and transposes — at 2^26 x 6 (the 2^24
+    zk fib trace's committed leaves) the padded buffer alone is ~9 GB.
+    Blocking rows keeps the transient at ~1 GB and every block shares one
+    compiled program.  Override with TPU_STARK_HASH_BLOCK (log2)."""
+    return 1 << int(os.environ.get("TPU_STARK_HASH_BLOCK", "23"))
+
+
 def hash_field_rows_batched(
     mat_u32: jnp.ndarray, impl: Optional[str] = None
 ) -> jnp.ndarray:
     """Hash each row of an (N, k) canonical-u32 matrix -> (N, 4, 2) uint32
     digests (dim 2 = [lo, hi] of each u64 digest word)."""
+    n = int(mat_u32.shape[0])
+    blk = _hash_block_rows()
+    if n > blk:
+        return jnp.concatenate(
+            [
+                hash_field_rows_batched(mat_u32[off : off + blk], impl)
+                for off in range(0, n, blk)
+            ],
+            axis=0,
+        )
     impl = impl or _keccak_impl()
     if impl == "pallas":
         from . import pallas_keccak
@@ -183,6 +202,18 @@ def compress_digests_batched(
     left: jnp.ndarray, right: jnp.ndarray, impl: Optional[str] = None
 ) -> jnp.ndarray:
     """Compress (N, 4, 2) digest arrays pairwise -> (N, 4, 2)."""
+    n = int(left.shape[0])
+    blk = _hash_block_rows()
+    if n > blk:
+        return jnp.concatenate(
+            [
+                compress_digests_batched(
+                    left[off : off + blk], right[off : off + blk], impl
+                )
+                for off in range(0, n, blk)
+            ],
+            axis=0,
+        )
     impl = impl or _keccak_impl()
     if impl == "pallas":
         from . import pallas_keccak

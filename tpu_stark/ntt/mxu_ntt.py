@@ -273,17 +273,34 @@ def _dft_axis0(x: jnp.ndarray, inverse: bool, use_pallas: bool = False,
     return t3.reshape((n,) + rest)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("inverse", "use_pallas", "interpret")
+)
+def _dft_jit(mat, *, inverse: bool, use_pallas: bool, interpret: bool):
+    """One jitted program per (shape, direction) — the OPT-0011-addendum
+    regression was this path dispatching EAGERLY: every call re-uploaded the
+    limb/twiddle tables over the tunnel (16 MB at 2^22) and paid a ~30 ms
+    round trip per op.  Under jit the tables are compile-time constants
+    resident with the executable and the whole 4-step chain is one dispatch,
+    like the VPU paths (_dit_core/_four_step_core)."""
+    out = _dft_axis0(mat, inverse, use_pallas, interpret)
+    if inverse:
+        h = mat.shape[0]
+        out = bb.mul(out, bb.monty_scalar(pow(h, bb.P - 2, bb.P)))
+    return out
+
+
 def dft_batch(mat: jnp.ndarray, use_pallas: bool = False,
               interpret: bool = False) -> jnp.ndarray:
     """(H, W) Monty batched NTT, natural order — MXU path."""
-    return _dft_axis0(mat, False, use_pallas, interpret)
+    return _dft_jit(mat, inverse=False, use_pallas=use_pallas,
+                    interpret=interpret)
 
 
 def idft_batch(mat: jnp.ndarray, use_pallas: bool = False,
                interpret: bool = False) -> jnp.ndarray:
-    h = mat.shape[0]
-    out = _dft_axis0(mat, True, use_pallas, interpret)
-    return bb.mul(out, bb.monty_scalar(pow(h, bb.P - 2, bb.P)))
+    return _dft_jit(mat, inverse=True, use_pallas=use_pallas,
+                    interpret=interpret)
 
 
 def supports(h: int, w: int) -> bool:

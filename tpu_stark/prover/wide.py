@@ -1,0 +1,466 @@
+"""Streaming prover for very wide traces (keccak-air at 2^20 rows).
+
+BASELINE config 4 asks for an end-to-end keccak-air prove at 2^20 rows.  The
+dense prover path materializes the full committed LDE (and the quotient-domain
+trace): at 3,608 columns x 2^21 LDE rows that is ~30 GB — double the single
+v5e's HBM.  The reference has no answer at this scale (SURVEY.md par5.7 notes
+"all proving is one-shot in-memory; for the TPU build at 2^24 rows, streaming");
+this module is that streaming subsystem, built TPU-first:
+
+* the trace lives on device as **uint8 bits** (keccak-air columns are bits:
+  0.9 GB at 2^20 x 3608 instead of 15 GB);
+* the committed LDE is never materialized: column chunks stream through
+  iNTT -> coset NTT -> bit-reversal -> an **incremental Poseidon2 sponge
+  absorb** carrying one running (lde_h, 16) state across chunks — the Merkle
+  leaf digests come out chunk by chunk, byte-identical to the dense
+  ``Poseidon2Mmcs.commit`` (differentially tested, tests/test_wide_prove.py);
+* the quotient is evaluated **per AIR column-partition per quotient sub-coset**
+  (air.keccak_air.Partition): each partition low-degree-extends only the
+  handful of columns its constraints read, evaluates, and alpha-folds into a
+  per-coset accumulator — peak memory is one partition's columns, not the
+  trace width;
+* the open phase recomputes chunk LDEs on demand for the out-of-domain
+  coefficient evaluations, the FRI reduced-opening accumulation, and the query
+  row gathers (pcs.py dispatches on ``WideMatrixSource``).
+
+Everything downstream (FRI folds, grinding, query Merkle paths, the verifier)
+is the standard path — proofs from this prover verify with the unchanged
+``prover/verify.py`` and, at sizes where the dense path fits, are
+**byte-identical** to dense proofs.
+
+Reference correspondence: the capability matched is p3's keccak-air example
+prove (SURVEY.md par7.1 step 12); the streaming architecture itself has no
+reference counterpart (the Rust stack is host-RAM-bound one-shot).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..air.air import BaseAir, SymbolicAirBuilder, get_symbolic_info
+from ..air.builders import QuotientBuilder
+from ..air.values import DevVal
+from ..commit import poseidon2_mmcs
+from ..commit.pcs import PcsProverData, _eval_at_point
+from ..fields import babybear as bb
+from ..fields import extension as ext4
+from ..fields import ref_field as rf
+from ..fri.domains import TwoAdicCoset
+from ..matrix import log2_strict, reverse_matrix_index_bits
+from .proof import Commitments, OpenedValues, Proof
+
+
+def _wide_chunk_default() -> int:
+    return int(os.environ.get("TPU_STARK_WIDE_CHUNK", "512"))
+
+
+class WideMatrixSource:
+    """A committed matrix too large to materialize: recomputes bit-reversed
+    LDE column chunks on demand from the device-resident compact trace.
+
+    Quacks enough like a committed device matrix for the PCS plumbing:
+    ``.shape`` is the LDE shape and ``src[rows]`` gathers full LDE rows (the
+    query-opening path in ``Poseidon2Mmcs.open_batch_many_lazy``)."""
+
+    def __init__(
+        self,
+        trace_np: np.ndarray,  # (n, w) canonical uint8/uint16/uint32 host
+        dft,
+        log_blowup: int,
+        domain: TwoAdicCoset,
+        col_chunk: Optional[int] = None,
+    ):
+        self.n, self.w = (int(trace_np.shape[0]), int(trace_np.shape[1]))
+        assert self.n == domain.size
+        self.log_n = domain.log_n
+        self.log_blowup = log_blowup
+        self.lde_h = self.n << log_blowup
+        self.dft = dft
+        self.domain = domain
+        self.col_chunk = col_chunk or _wide_chunk_default()
+        assert self.col_chunk % poseidon2_mmcs.RATE == 0
+        self.trace_dev = jax.device_put(trace_np)
+        # relabeling scale onto the plain frame (same as pcs.commit)
+        self._sigma = (bb.GENERATOR * rf.finv(domain.shift)) % bb.P
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.lde_h, self.w)
+
+    def chunks(self):
+        for off in range(0, self.w, self.col_chunk):
+            yield off, min(self.col_chunk, self.w - off)
+
+    # -- per-chunk pipeline --------------------------------------------------
+    def monty_cols(self, cols) -> jnp.ndarray:
+        """(n, k) Monty device values of the given global columns."""
+        raw = self.trace_dev[:, jnp.asarray(np.asarray(cols))]
+        return bb.from_u32(raw.astype(bb.u32))
+
+    def coeff_chunk(self, off: int, wc: int) -> jnp.ndarray:
+        """(n, wc) plain-frame coefficients (the dense path's r_small)."""
+        q = self.dft.idft_batch(self.monty_cols(np.arange(off, off + wc)))
+        return bb.mul(q, bb.powers_monty(self._sigma, self.n)[:, None])
+
+    def lde_br_chunk(self, off: int, wc: int) -> jnp.ndarray:
+        """(lde_h, wc) bit-reversed committed-codeword columns."""
+        r_small = self.coeff_chunk(off, wc)
+        r_pad = jnp.zeros((self.lde_h, wc), dtype=bb.u32).at[: self.n].set(r_small)
+        return reverse_matrix_index_bits(self.dft.dft_batch(r_pad))
+
+    # -- PCS hooks -------------------------------------------------------------
+    def __getitem__(self, rows) -> jnp.ndarray:
+        """Full LDE rows at the given bit-reversed indices (query openings)."""
+        parts = [
+            self.lde_br_chunk(off, wc)[rows] for off, wc in self.chunks()
+        ]
+        return jnp.concatenate(parts, axis=1)
+
+    def eval_at_point(self, z_y) -> jnp.ndarray:
+        """(w, 4) Monty device: every column's polynomial at the plain-frame
+        point (the dense path's ``_eval_at_point`` over streamed coeffs)."""
+        zpow = ext4.powers_device(z_y, self.n)
+        parts = [
+            _eval_at_point(self.coeff_chunk(off, wc), zpow)
+            for off, wc in self.chunks()
+        ]
+        return jnp.concatenate(parts, axis=0)
+
+    def reduced_contrib(self, apows, p_z, z_dev, y_br) -> jnp.ndarray:
+        """sum_col alpha^k (y_col(x) - y_col(z)) / (x - z) streamed over
+        chunks — the dense path's ``_reduced_quotient`` on the whole matrix."""
+        from ..commit.pcs import _reduced_quotient
+
+        acc = ext4.zero((self.lde_h,))
+        for off, wc in self.chunks():
+            acc = ext4.add(
+                acc,
+                _reduced_quotient(
+                    self.lde_br_chunk(off, wc),
+                    apows[off : off + wc],
+                    p_z[off : off + wc],
+                    z_dev,
+                    y_br,
+                ),
+            )
+        return acc
+
+
+# ---------------------------------------------------------------------------
+# Streaming commit (Poseidon2 MMCS)
+# ---------------------------------------------------------------------------
+@jax.jit
+def _absorb_chunk(state: jnp.ndarray, chunk: jnp.ndarray) -> jnp.ndarray:
+    """Continue the PaddingFreeSponge overwrite-absorb with more row columns
+    (chunk width is a RATE multiple except for the final ragged chunk).
+    Full-rate blocks run under one lax.scan so the graph holds ONE permutation
+    body, not col_chunk/RATE unrolled copies."""
+    from ..hash import poseidon2
+
+    rate = poseidon2_mmcs.RATE
+    k = int(chunk.shape[1])
+    full = (k // rate) * rate
+    if full:
+        blocks = jnp.transpose(
+            chunk[:, :full].reshape(chunk.shape[0], -1, rate), (1, 0, 2)
+        )  # (n_blocks, rows, RATE)
+
+        def body(st, blk):
+            st = st.at[:, :rate].set(blk)
+            return poseidon2.permute_batched(st), None
+
+        state, _ = jax.lax.scan(body, state, blocks)
+    if k > full:
+        blk = chunk[:, full:]
+        state = state.at[:, : blk.shape[1]].set(blk)
+        state = poseidon2.permute_batched(state)
+    return state
+
+
+def commit_wide(
+    pcs, domain: TwoAdicCoset, source: WideMatrixSource
+) -> Tuple[tuple, PcsProverData]:
+    """Streamed analog of ``pcs.commit([(domain, evals)])`` for one wide
+    matrix: identical Merkle root, no materialized LDE."""
+    mmcs = pcs.val_mmcs
+    assert isinstance(mmcs, poseidon2_mmcs.Poseidon2Mmcs), (
+        "streamed commit is implemented for the Poseidon2 (field-native) "
+        "stack; the Keccak stack's u32 serialization packs 17-u64 rate blocks "
+        "that straddle column-chunk boundaries"
+    )
+    assert not mmcs.hiding, "wide streaming path is plain (non-zk) for now"
+    timing = os.environ.get("TPU_STARK_TIMING") == "1"
+    t0 = time.perf_counter()
+
+    state = jnp.zeros((source.lde_h, poseidon2_mmcs.WIDTH), dtype=bb.u32)
+    for off, wc in source.chunks():
+        state = _absorb_chunk(state, source.lde_br_chunk(off, wc))
+    digests = state[:, : poseidon2_mmcs.OUT]
+    layers = [digests]
+    h = source.lde_h
+    while h > 1:
+        h >>= 1
+        digests = poseidon2_mmcs._compress_layer(digests)
+        layers.append(digests)
+    root = poseidon2_mmcs._digest_at(layers[-1], 0)
+    if timing:
+        jax.block_until_ready(layers[-1])
+        print(
+            f"[wide] streamed commit ({source.lde_h}x{source.w}): "
+            f"{time.perf_counter() - t0:.3f}s",
+            flush=True,
+        )
+    data = poseidon2_mmcs.ProverData([source], None, layers, root)
+    return root, PcsProverData(data, [source], [domain], [source.w])
+
+
+# ---------------------------------------------------------------------------
+# Partitioned quotient evaluation
+# ---------------------------------------------------------------------------
+class _PartitionBuilder(QuotientBuilder):
+    """QuotientBuilder over a sparse column view: the AIR partition reads
+    global column indices; only the partition's columns are materialized."""
+
+    def __init__(self, lde, lde_next, local_cols, next_cols, selectors, pis):
+        self._lpos = {int(c): i for i, c in enumerate(local_cols)}
+        self._npos = {int(c): i for i, c in enumerate(next_cols)}
+        self._lmat = lde
+        self._nmat = lde_next
+        width = 1 + max(
+            [int(c) for c in local_cols] + [int(c) for c in next_cols]
+        )
+        main_local = [None] * width
+        for c, i in self._lpos.items():
+            main_local[c] = DevVal(lde[:, i])
+        main_next = [None] * width
+        for c, i in self._npos.items():
+            main_next[c] = DevVal(lde_next[:, i])
+        # skip QuotientBuilder.__init__ (it materializes every column);
+        # replicate its state directly
+        from ..air.air import AirBuilder
+
+        AirBuilder.__init__(
+            self,
+            main_rows=[main_local, main_next],
+            is_first_row=DevVal(selectors["is_first_row"]),
+            is_last_row=DevVal(selectors["is_last_row"]),
+            is_transition=DevVal(selectors["is_transition"]),
+            public_values=[
+                p if isinstance(p, DevVal) else DevVal(bb.monty_scalar(int(p)))
+                for p in pis
+            ],
+        )
+        self._constraints = []
+
+    def main_cols(self, offset: int, indices):
+        pos = self._lpos if offset == 0 else self._npos
+        mat = self._lmat if offset == 0 else self._nmat
+        local_idx = np.array([pos[int(c)] for c in np.asarray(indices)])
+        return DevVal(mat[:, jnp.asarray(local_idx)])
+
+
+def partition_counts(air: BaseAir, num_pis: int) -> List[int]:
+    """Constraints emitted per partition (alpha-power offsets)."""
+    counts = []
+    for part in air.partitions():
+        b = SymbolicAirBuilder(air.width, num_pis)
+        part.eval(b)
+        counts.append(b.constraint_count)
+    return counts
+
+
+@functools.lru_cache(maxsize=None)
+def _partition_fn(air_key, part_idx: int, log_n: int, num_pis: int):
+    """One jitted program per (air, partition): coset NTT of the partition's
+    columns is done eagerly outside; this evaluates constraints + alpha-folds.
+    xs (the coset points) is data, so all ``qd`` sub-cosets share the compile."""
+    from .prove import _AIR_REGISTRY
+
+    air = _AIR_REGISTRY[air_key]
+    part = air.partitions()[part_idx]
+    n = 1 << log_n
+    last_pt = rf.finv(bb.two_adic_generator(log_n))  # trace domain shift=1
+
+    @jax.jit
+    def pfn(lde_union, local_sel, next_sel, xs, alpha_slice, pis_monty):
+        # selectors of the trace domain over this coset, from traced points
+        zh = bb.sub(bb.pow_const(xs, n), bb.monty_ones(xs.shape))
+        first = bb.mul(zh, bb.inv(bb.sub(xs, bb.monty_ones(xs.shape))))
+        last = bb.mul(zh, bb.inv(bb.sub(xs, bb.monty_scalar(last_pt))))
+        transition = bb.sub(xs, bb.monty_scalar(last_pt))
+        selectors = {
+            "is_first_row": first,
+            "is_last_row": last,
+            "is_transition": transition,
+        }
+        lde_next = jnp.roll(lde_union, -1, axis=0)
+        b = _PartitionBuilder(
+            lde_union[:, local_sel],
+            lde_next[:, next_sel],
+            part.local_cols,
+            part.next_cols,
+            selectors,
+            [DevVal(pis_monty[i]) for i in range(num_pis)],
+        )
+        part.eval(b)
+        folded = b.folded_constraints(alpha_slice)
+        return folded, bb.inv(zh)
+
+    return pfn
+
+
+def quotient_chunks_streamed(
+    air_key,
+    air: BaseAir,
+    source: WideMatrixSource,
+    trace_domain: TwoAdicCoset,
+    log_qd: int,
+    alpha_pows_dev: jnp.ndarray,
+    pis_dev: jnp.ndarray,
+    num_pis: int,
+) -> Tuple[List[TwoAdicCoset], List[jnp.ndarray]]:
+    """Quotient chunk evaluations, one (n, 4) ext matrix per sub-coset,
+    identical values to the dense ``_quotient_fn`` + ``[i::qd]`` split."""
+    timing = os.environ.get("TPU_STARK_TIMING") == "1"
+    t0 = time.perf_counter()
+    n = source.n
+    log_n = trace_domain.log_n
+    qd = 1 << log_qd
+    quotient_domain = trace_domain.create_disjoint_domain(n * qd)
+    chunk_domains = quotient_domain.split_domains(qd)
+    parts = air.partitions()
+    counts = partition_counts(air, num_pis)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+
+    base_pts = bb.powers_monty(bb.two_adic_generator(log_n), n)
+    accs = [ext4.zero((n,)) for _ in range(qd)]
+    inv_zeroifier: List[Optional[jnp.ndarray]] = [None] * qd
+    for p_idx, part in enumerate(parts):
+        union = np.unique(np.concatenate([part.local_cols, part.next_cols]))
+        upos = {int(c): i for i, c in enumerate(union)}
+        local_sel = jnp.asarray(
+            np.array([upos[int(c)] for c in part.local_cols], dtype=np.int32)
+        )
+        next_sel = jnp.asarray(
+            np.array([upos[int(c)] for c in part.next_cols], dtype=np.int32)
+        )
+        # one iNTT per partition; each sub-coset reuses the coefficients
+        coeffs = source.dft.idft_batch(source.monty_cols(union))
+        alpha_slice = alpha_pows_dev[offs[p_idx] : offs[p_idx + 1]]
+        pfn = _partition_fn(air_key, p_idx, log_n, num_pis)
+        for j, cd in enumerate(chunk_domains):
+            spow = bb.powers_monty(cd.shift, n)
+            on_coset = source.dft.dft_batch(bb.mul(coeffs, spow[:, None]))
+            xs = bb.mul(base_pts, bb.monty_scalar(cd.shift))
+            folded, inv_z = pfn(
+                on_coset, local_sel, next_sel, xs, alpha_slice, pis_dev
+            )
+            accs[j] = ext4.add(accs[j], folded)
+            if inv_zeroifier[j] is None:
+                inv_zeroifier[j] = inv_z
+    chunks = [ext4.mul_base(accs[j], inv_zeroifier[j]) for j in range(qd)]
+    if timing:
+        jax.block_until_ready(chunks[-1])
+        print(
+            f"[wide] streamed quotient ({len(parts)} partitions x {qd} "
+            f"cosets): {time.perf_counter() - t0:.3f}s",
+            flush=True,
+        )
+    return chunk_domains, chunks
+
+
+# ---------------------------------------------------------------------------
+# The streaming prove
+# ---------------------------------------------------------------------------
+def prove_wide(
+    config,
+    air: BaseAir,
+    trace: np.ndarray,  # (n, width) canonical uint8/uint32 host
+    public_values: Sequence[int],
+) -> Proof:
+    """Same transcript as ``prove.prove`` (proofs verify with the unchanged
+    verifier and match dense proofs byte-for-byte where both paths fit);
+    plain (non-zk) only, Poseidon2 stack only."""
+    from .prove import _register_air, get_log_quotient_degree
+
+    timing = os.environ.get("TPU_STARK_TIMING") == "1"
+    t_last = [time.perf_counter()]
+
+    def mark(phase: str) -> None:
+        if timing:
+            now = time.perf_counter()
+            print(f"[prove-wide] {phase}: {now - t_last[0]:.3f}s", flush=True)
+            t_last[0] = now
+
+    assert not config.zk, "wide streaming prover is plain (non-zk)"
+    pcs = config.pcs
+    challenger = config.challenger()
+    n, width = trace.shape
+    assert width == air.width
+    assert air.partitions() is not None, (
+        "wide prover needs air.partitions() (see air.keccak_air.Partition)"
+    )
+    log_n = log2_strict(n)
+    log_qd = get_log_quotient_degree(air, len(public_values), False)
+
+    trace_domain = pcs.natural_domain_for_degree(n)
+    source = WideMatrixSource(trace, pcs.dft, pcs.fri.log_blowup, trace_domain)
+    trace_commit, trace_data = commit_wide(pcs, trace_domain, source)
+    mark("trace commit (streamed)")
+
+    challenger.observe_u32(log_n)
+    challenger.observe_commitment(trace_commit)
+    challenger.observe_u32s([int(p) % bb.P for p in public_values])
+    alpha = challenger.sample_ext()
+
+    num_constraints, _ = get_symbolic_info(air, len(public_values))
+    apows = [(1, 0, 0, 0)]
+    for _ in range(num_constraints - 1):
+        apows.append(rf.emul(apows[-1], alpha))
+    alpha_pows_dev = jnp.asarray(
+        bb.np_to_monty(np.array(apows, dtype=np.uint64).astype(np.uint32))
+    )
+    pis_dev = jnp.asarray(
+        bb.np_to_monty(
+            np.array([int(p) % bb.P for p in public_values], dtype=np.uint32)
+        )
+    )
+    air_key = _register_air(air)
+    chunk_domains, chunks = quotient_chunks_streamed(
+        air_key, air, source, trace_domain, log_qd,
+        alpha_pows_dev, pis_dev, len(public_values),
+    )
+    mark("quotient eval (streamed)")
+    quotient_commit, quotient_data = pcs.commit(list(zip(chunk_domains, chunks)))
+    mark("quotient commit")
+    challenger.observe_commitment(quotient_commit)
+
+    zeta = challenger.sample_ext()
+    zeta_next = trace_domain.next_point_ext(zeta)
+    qd = 1 << log_qd
+    opened, fri_proof = pcs.open(
+        [
+            (trace_data, [[zeta, zeta_next]]),
+            (quotient_data, [[zeta]] * qd),
+        ],
+        challenger,
+    )
+    mark("pcs open (streamed round + FRI + queries)")
+    trace_local = [tuple(v) for v in opened[0][0][0]]
+    trace_next = [tuple(v) for v in opened[0][0][1]]
+    quotient_opened = [[tuple(v) for v in opened[1][i][0]] for i in range(qd)]
+
+    return Proof(
+        commitments=Commitments(trace_commit, quotient_commit),
+        opened_values=OpenedValues(trace_local, trace_next, quotient_opened),
+        opening_proof=fri_proof,
+        degree_bits=log_n,
+        log_quotient_degree=log_qd,
+    )
