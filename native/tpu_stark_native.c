@@ -149,3 +149,92 @@ EXPORT void ts_sponge_u64(const uint64_t *items, size_t n, uint64_t out[4]) {
     }
     memcpy(out, state, 32);
 }
+
+/* ---------------------------------------------------------------------------
+ * BabyBear Poseidon2 (width 16) host helpers — the Poseidon2-stack analog of
+ * ts_sponge_u64: per-query Merkle path verification at 100 production
+ * queries costs tens of thousands of permutations, a multi-second pure-python
+ * tail.  Round constants are derived in python (hash/poseidon2.py Grain
+ * LFSR) and passed in canonical u32 form, so C stays constant-free and
+ * bit-identical to the python oracle by construction.
+ * ------------------------------------------------------------------------- */
+#define BB_P 0x78000001u
+
+static inline uint32_t bb_add(uint32_t a, uint32_t b) {
+    uint32_t s = a + b;
+    return s >= BB_P ? s - BB_P : s;
+}
+
+static inline uint32_t bb_mul(uint32_t a, uint32_t b) {
+    return (uint32_t)(((uint64_t)a * b) % BB_P);
+}
+
+static inline uint32_t bb_sbox(uint32_t x) {
+    uint32_t x2 = bb_mul(x, x);
+    uint32_t x4 = bb_mul(x2, x2);
+    return bb_mul(bb_mul(x4, x2), x);
+}
+
+/* M4 = [[5,7,1,3],[4,6,1,1],[1,3,5,7],[1,1,4,6]] via the paper's add chain */
+static void bb_m4(uint32_t *b) {
+    uint32_t x0 = b[0], x1 = b[1], x2 = b[2], x3 = b[3];
+    uint32_t t0 = bb_add(x0, x1);
+    uint32_t t1 = bb_add(x2, x3);
+    uint32_t t2 = bb_add(bb_add(x1, x1), t1);
+    uint32_t t3 = bb_add(bb_add(x3, x3), t0);
+    uint32_t t4 = bb_add(bb_add(bb_add(t1, t1), bb_add(t1, t1)), t3);
+    uint32_t t5 = bb_add(bb_add(bb_add(t0, t0), bb_add(t0, t0)), t2);
+    uint32_t t6 = bb_add(t3, t5);
+    uint32_t t7 = bb_add(t2, t4);
+    b[0] = t6; b[1] = t5; b[2] = t7; b[3] = t4;
+}
+
+static void bb_ext_mds16(uint32_t s[16]) {
+    uint32_t sums[4];
+    for (int i = 0; i < 16; i += 4) bb_m4(s + i);
+    for (int j = 0; j < 4; j++) {
+        uint64_t t = (uint64_t)s[j] + s[4 + j] + s[8 + j] + s[12 + j];
+        sums[j] = (uint32_t)(t % BB_P);
+    }
+    for (int i = 0; i < 16; i += 4)
+        for (int j = 0; j < 4; j++) s[i + j] = bb_add(s[i + j], sums[j]);
+}
+
+/* ext_rc: 8 rounds x 16, row-major; int_rc: n_int; diag: 16.  All canonical. */
+EXPORT void ts_p2_permute16(uint32_t s[16], const uint32_t *ext_rc,
+                            const uint32_t *int_rc, int n_int,
+                            const uint32_t *diag) {
+    bb_ext_mds16(s);
+    for (int r = 0; r < 4; r++) {
+        for (int i = 0; i < 16; i++)
+            s[i] = bb_sbox(bb_add(s[i], ext_rc[r * 16 + i]));
+        bb_ext_mds16(s);
+    }
+    for (int r = 0; r < n_int; r++) {
+        s[0] = bb_sbox(bb_add(s[0], int_rc[r]));
+        uint64_t tot = 0;
+        for (int i = 0; i < 16; i++) tot += s[i];
+        uint32_t t = (uint32_t)(tot % BB_P);
+        for (int i = 0; i < 16; i++) s[i] = bb_add(t, bb_mul(diag[i], s[i]));
+    }
+    for (int r = 4; r < 8; r++) {
+        for (int i = 0; i < 16; i++)
+            s[i] = bb_sbox(bb_add(s[i], ext_rc[r * 16 + i]));
+        bb_ext_mds16(s);
+    }
+}
+
+/* PaddingFreeSponge<Poseidon2_16, 16, 8, 8>: overwrite-absorb rate-8 chunks */
+EXPORT void ts_p2_hash_row(const uint32_t *vals, size_t n,
+                           const uint32_t *ext_rc, const uint32_t *int_rc,
+                           int n_int, const uint32_t *diag, uint32_t out[8]) {
+    uint32_t st[16];
+    memset(st, 0, sizeof(st));
+    if (n == 0) { memcpy(out, st, 32); return; }
+    for (size_t off = 0; off < n; off += 8) {
+        size_t k = n - off < 8 ? n - off : 8;
+        for (size_t i = 0; i < k; i++) st[i] = vals[off + i] % BB_P;
+        ts_p2_permute16(st, ext_rc, int_rc, n_int, diag);
+    }
+    memcpy(out, st, 32);
+}

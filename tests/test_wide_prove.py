@@ -70,6 +70,34 @@ def test_streamed_absorb_matches_batched_hash():
     assert np.array_equal(np.asarray(want), np.asarray(got))
 
 
+def test_pallas_absorb_carry_state_matches_batched_hash():
+    """Interpret-mode check of the carry-state VMEM absorb kernel: chunked
+    absorb_rows_transposed == one-shot hash_rows_batched."""
+    import jax.numpy as jnp
+
+    from tpu_stark.hash import pallas_poseidon2 as pp
+
+    rng = np.random.default_rng(11)
+    n, k = 256, 52
+    mat = jnp.asarray(rng.integers(0, bb.P, size=(n, k), dtype=np.uint32))
+    want = np.asarray(hash_rows_batched(mat))
+    state_t = jnp.zeros((16, n), dtype=bb.u32)
+    first = True
+    for off, wc in ((0, 16), (16, 32), (48, 4)):
+        mat_t = mat[:, off : off + wc].T
+        k_pad = -(-wc // 8) * 8
+        if k_pad > wc:
+            mat_t = jnp.concatenate(
+                [mat_t, jnp.zeros((k_pad - wc, n), dtype=bb.u32)], axis=0
+            )
+        state_t = pp.absorb_rows_transposed(
+            state_t, mat_t, n_items=wc, first=first, interpret=True
+        )
+        first = False
+    got = np.asarray(state_t[:8].T)
+    assert np.array_equal(want, got)
+
+
 def test_streamed_commit_root_matches_dense():
     from tpu_stark.commit.pcs import TwoAdicFriPcs
     from tpu_stark.fri.config import create_test_fri_params

@@ -43,10 +43,15 @@ FieldDigest = Tuple[int, ...]  # 8 canonical ints
 # Host primitives (per-query verification)
 # ---------------------------------------------------------------------------
 def hash_row_host(values: Sequence[int]) -> FieldDigest:
-    state = [0] * WIDTH
     vals = [int(v) % bb.P for v in values]
     if not vals:
-        return tuple(state[:OUT])
+        return tuple([0] * OUT)
+    from ..compat.native import p2_hash_row_native
+
+    out = p2_hash_row_native(vals, *poseidon2._native_consts16())
+    if out is not None:  # C fast path (keccak-air leaves are 3608 wide)
+        return out
+    state = [0] * WIDTH
     for off in range(0, len(vals), RATE):
         chunk = vals[off : off + RATE]
         for i, v in enumerate(chunk):

@@ -71,6 +71,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.ts_keccakf.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+            lib.ts_sponge_u64.argtypes = [
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            lib.ts_p2_permute16.argtypes = [u32p, u32p, u32p, ctypes.c_int, u32p]
+            lib.ts_p2_hash_row.argtypes = [
+                u32p, ctypes.c_size_t, u32p, u32p, ctypes.c_int, u32p, u32p,
+            ]
             _lib = lib
         except Exception:  # noqa: BLE001
             _lib = None
@@ -84,3 +94,38 @@ def keccak256_native(data: bytes) -> Optional[bytes]:
     out = (ctypes.c_uint8 * 32)()
     lib.ts_keccak256(data, len(data), out)
     return bytes(out)
+
+
+def sponge_u64_native(items) -> Optional[tuple]:
+    """PaddingFreeSponge<KeccakF,25,17,4> over u64 items, or None w/o lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(items)
+    arr = (ctypes.c_uint64 * max(n, 1))(*[v & ((1 << 64) - 1) for v in items])
+    out = (ctypes.c_uint64 * 4)()
+    lib.ts_sponge_u64(arr, n, out)
+    return tuple(out)
+
+
+def p2_permute16_native(state, ext_rc, int_rc, diag) -> Optional[list]:
+    """Width-16 BabyBear Poseidon2 permutation (canonical u32 lists); the
+    caller passes its own round constants (hash/poseidon2.py caches the
+    ctypes arrays) so this stays constant-free and oracle-identical."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    st = (ctypes.c_uint32 * 16)(*[int(x) % 0x78000001 for x in state])
+    lib.ts_p2_permute16(st, ext_rc, int_rc, len(int_rc), diag)
+    return list(st)
+
+
+def p2_hash_row_native(vals, ext_rc, int_rc, diag) -> Optional[tuple]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(vals)
+    arr = (ctypes.c_uint32 * max(n, 1))(*[int(v) % 0x78000001 for v in vals])
+    out = (ctypes.c_uint32 * 8)()
+    lib.ts_p2_hash_row(arr, n, ext_rc, int_rc, len(int_rc), diag, out)
+    return tuple(out)

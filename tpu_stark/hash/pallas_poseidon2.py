@@ -163,6 +163,96 @@ def hash_rows_transposed(mat_t: jnp.ndarray, n_items: int, *, rate: int = RATE,
     return call(x)  # (8, n_tiles, 128)
 
 
+def _absorb_kernel(st_in_ref, x_ref, o_ref, st_ref, *, rate: int,
+                   n_items: int, n_ext: int, n_int: int, first: bool):
+    """Carry-state sponge absorb: like ``_sponge_kernel`` but the state
+    arrives from / returns to HBM, so a row absorb can span many
+    ``pallas_call``s — the streaming wide-trace commit (prover/wide.py)
+    absorbs a 30 GB LDE in recomputed column chunks that never coexist."""
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        if first:
+            st_ref[...] = jnp.zeros_like(st_ref)
+        else:
+            st_ref[...] = st_in_ref[...]
+
+    lanes = [st_ref[i] for i in range(WIDTH)]
+    base = c * rate
+    for i in range(rate):
+        exists = base + i < n_items
+        lanes[i] = jnp.where(exists, x_ref[i], lanes[i])
+    lanes = _permute_lanes(lanes, n_ext, n_int)
+    for i in range(WIDTH):
+        st_ref[i] = lanes[i]
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        for i in range(WIDTH):
+            o_ref[i] = lanes[i]
+
+
+@functools.lru_cache(maxsize=None)
+def _absorb_call(k_pad: int, n_tiles: int, *, rate: int, n_items: int, r: int,
+                 interpret: bool, n_ext: int, n_int: int, first: bool):
+    n_chunks = k_pad // rate
+    block = r * _LANES
+
+    def run(state, x):
+        return pl.pallas_call(
+            functools.partial(_absorb_kernel, rate=rate, n_items=n_items,
+                              n_ext=n_ext, n_int=n_int, first=first),
+            grid=(n_tiles * _LANES // block, n_chunks),
+            in_specs=[
+                pl.BlockSpec(
+                    (WIDTH, r, _LANES), lambda j, c: (0, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (rate, r, _LANES), lambda j, c: (c, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (WIDTH, r, _LANES), lambda j, c: (0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((WIDTH, n_tiles, _LANES), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((WIDTH, r, _LANES), jnp.uint32)],
+            input_output_aliases={0: 0},  # state buffer reused in place
+            interpret=interpret,
+        )(state, x)
+
+    return run if interpret else jax.jit(run)
+
+
+def absorb_rows_transposed(state_t: jnp.ndarray, mat_t: jnp.ndarray,
+                           n_items: int, *, first: bool = False,
+                           interpret: bool = False,
+                           n_ext: int = poseidon2.ROUNDS_F,
+                           n_int: int | None = None) -> jnp.ndarray:
+    """Continue (or start, ``first=True``) a PaddingFreeSponge absorb.
+    state_t: (16, N) Monty; mat_t: (k_pad, N) Monty, k_pad a rate multiple,
+    first ``n_items`` columns real.  Returns the new (16, N) state."""
+    if n_int is None:
+        n_int = poseidon2.rounds_p(WIDTH)
+    k_pad, n = mat_t.shape
+    assert k_pad % RATE == 0 and state_t.shape == (WIDTH, n)
+    r = _batch_rows(n)
+    block = r * _LANES
+    assert n % block == 0, (n, block)
+    call = _absorb_call(k_pad, n // _LANES, rate=RATE, n_items=n_items, r=r,
+                        interpret=interpret, n_ext=n_ext, n_int=n_int,
+                        first=first)
+    out = call(
+        state_t.reshape(WIDTH, n // _LANES, _LANES),
+        mat_t.reshape(k_pad, n // _LANES, _LANES),
+    )
+    return out.reshape(WIDTH, n)
+
+
 def _pad_transpose(mat_monty: jnp.ndarray, rate: int = RATE):
     n, k = mat_monty.shape
     k_pad = -(-max(k, 1) // rate) * rate

@@ -35,11 +35,18 @@ OUT = 4
 # Host (sequential, python ints)
 # ---------------------------------------------------------------------------
 def sponge_hash_u64s(items: Sequence[int]) -> Tuple[int, int, int, int]:
-    """PaddingFreeSponge over u64 items (overwrite-absorb, permute per chunk)."""
+    """PaddingFreeSponge over u64 items (overwrite-absorb, permute per chunk).
+    Dispatches to the C helper when built (bit-identical; golden-vector
+    pinned) — the 100-query production verifier runs ~30k of these."""
     state = [0] * WIDTH
     items = list(items)
     if not items:
         return (0, 0, 0, 0)
+    from ..compat.native import sponge_u64_native
+
+    native = sponge_u64_native(items)
+    if native is not None:
+        return native
     for off in range(0, len(items), RATE):
         chunk = items[off : off + RATE]
         for i, v in enumerate(chunk):

@@ -199,10 +199,37 @@ def commit_wide(
     timing = os.environ.get("TPU_STARK_TIMING") == "1"
     t0 = time.perf_counter()
 
-    state = jnp.zeros((source.lde_h, poseidon2_mmcs.WIDTH), dtype=bb.u32)
-    for off, wc in source.chunks():
-        state = _absorb_chunk(state, source.lde_br_chunk(off, wc))
-    digests = state[:, : poseidon2_mmcs.OUT]
+    from ..hash import pallas_poseidon2
+
+    rate = poseidon2_mmcs.RATE
+    use_pallas = (
+        poseidon2_mmcs._poseidon2_impl() == "pallas"
+        and pallas_poseidon2.supports(source.lde_h, rate)
+    )
+    if use_pallas:
+        # VMEM-resident absorb (state never round-trips HBM between rate
+        # blocks): the XLA scan fallback below pays ~21 rounds x 2 x state
+        # HBM traffic per rate block — ~2.5 TB for a 2^21 x 3608 commit.
+        state_t = jnp.zeros((poseidon2_mmcs.WIDTH, source.lde_h), dtype=bb.u32)
+        first = True
+        for off, wc in source.chunks():
+            mat_t = source.lde_br_chunk(off, wc).T
+            k_pad = -(-wc // rate) * rate
+            if k_pad > wc:
+                mat_t = jnp.concatenate(
+                    [mat_t, jnp.zeros((k_pad - wc, source.lde_h), dtype=bb.u32)],
+                    axis=0,
+                )
+            state_t = pallas_poseidon2.absorb_rows_transposed(
+                state_t, mat_t, n_items=wc, first=first
+            )
+            first = False
+        digests = state_t[: poseidon2_mmcs.OUT].T
+    else:
+        state = jnp.zeros((source.lde_h, poseidon2_mmcs.WIDTH), dtype=bb.u32)
+        for off, wc in source.chunks():
+            state = _absorb_chunk(state, source.lde_br_chunk(off, wc))
+        digests = state[:, : poseidon2_mmcs.OUT]
     layers = [digests]
     h = source.lde_h
     while h > 1:
