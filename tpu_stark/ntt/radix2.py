@@ -97,8 +97,20 @@ def _four_step_twiddle_np(log_h: int, inverse: bool) -> np.ndarray:
     return bb.np_to_monty(pows[idx])
 
 
+@functools.lru_cache(maxsize=None)
+def _four_step_twiddle_dev(log_h: int, inverse: bool):
+    """Device-resident (n1, n2) twiddle.  Passed to the jitted core as an
+    ARGUMENT: closed over as a np constant, XLA constant-folds the 128 MB
+    literal at 2^25 for minutes (observed at the 2^24 zk prove) and bloats
+    the executable."""
+    import jax as _jax
+
+    return _jax.device_put(_four_step_twiddle_np(log_h, inverse))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _four_step_core(log_h: int, inverse: bool, x: jnp.ndarray) -> jnp.ndarray:
+def _four_step_core(log_h: int, inverse: bool, x: jnp.ndarray,
+                    t: jnp.ndarray) -> jnp.ndarray:
     """Four-step DFT for tall-narrow batches, pure VPU (OPT-0016).
 
     The radix-2 stage loop on a (2^22, 2)-shaped batch leaves the VPU's
@@ -122,7 +134,6 @@ def _four_step_core(log_h: int, inverse: bool, x: jnp.ndarray) -> jnp.ndarray:
     n1, n2 = 1 << l1, 1 << l2
     a = x.reshape(n1, n2 * w)
     b = _dit_core(l1, a, *_stage_twiddles(l1, inverse))  # B[k1, (j2, c)]
-    t = jnp.asarray(_four_step_twiddle_np(log_h, inverse))  # (n1, n2)
     b = bb.mul(b.reshape(n1, n2, w), t[:, :, None])
     c = b.transpose(1, 0, 2).reshape(n2, n1 * w)
     d = _dit_core(l2, c, *_stage_twiddles(l2, inverse))  # D[k2, (k1, c)]
@@ -162,7 +173,8 @@ def dft_batch(mat: jnp.ndarray) -> jnp.ndarray:
 
         return mxu_ntt.dft_batch(mat, use_pallas=True)
     if mode == "vpu4":
-        return _four_step_core(log_h, False, mat)
+        return _four_step_core(log_h, False, mat,
+                               _four_step_twiddle_dev(log_h, False))
     return _dit_core(log_h, mat, *_stage_twiddles(log_h, False))
 
 
@@ -178,18 +190,25 @@ def idft_batch(mat: jnp.ndarray) -> jnp.ndarray:
 
         return mxu_ntt.idft_batch(mat, use_pallas=True)
     if mode == "vpu4":
-        out = _four_step_core(log_h, True, mat)
+        out = _four_step_core(log_h, True, mat,
+                              _four_step_twiddle_dev(log_h, True))
     else:
         out = _dit_core(log_h, mat, *_stage_twiddles(log_h, True))
     h_inv = bb.monty_scalar(pow(h, bb.P - 2, bb.P))
     return bb.mul(out, h_inv)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _coset_scale(coeffs: jnp.ndarray, shift: int, h: int) -> jnp.ndarray:
-    """coeffs[i] *= shift^i — turns the subgroup DFT into a coset DFT."""
-    pows = bb.powers_monty(shift, h)
+@jax.jit
+def _scale_rows(coeffs: jnp.ndarray, pows: jnp.ndarray) -> jnp.ndarray:
     return bb.mul(coeffs, pows[:, None])
+
+
+def _coset_scale(coeffs: jnp.ndarray, shift: int, h: int) -> jnp.ndarray:
+    """coeffs[i] *= shift^i — turns the subgroup DFT into a coset DFT.  The
+    power table enters as a device ARGUMENT, not a traced np constant: XLA
+    constant-folds embedded 2^24+ literals for minutes (see
+    _four_step_twiddle_dev)."""
+    return _scale_rows(coeffs, jax.device_put(bb.powers_monty(shift, h)))
 
 
 def coset_dft_batch(mat: jnp.ndarray, shift: int) -> jnp.ndarray:
