@@ -61,6 +61,13 @@ def main() -> None:
     assert ok, "verification failed"
 
     blob = serialize_proof(proof)
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
+    except Exception:  # noqa: BLE001
+        peak_gb = None
     print(
         json.dumps(
             {
@@ -73,6 +80,7 @@ def main() -> None:
                 "verify_s": round(t_verify, 3),
                 "proof_bytes": len(blob),
                 "trace_cols": int(trace.shape[1]),
+                "peak_hbm_gb": round(peak_gb, 2) if peak_gb else None,
             }
         )
     )

@@ -68,6 +68,13 @@ def main() -> None:
     from tpu_stark.prover.proof import serialize_proof
 
     blob = serialize_proof(proof)
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
+    except Exception:  # noqa: BLE001 — not all platforms expose stats
+        peak_gb = None
     print(
         json.dumps(
             {
@@ -79,6 +86,7 @@ def main() -> None:
                 "first_run_s": round(t_first, 3),
                 "verify_s": round(t_verify, 3),
                 "proof_bytes": len(blob),
+                "peak_hbm_gb": round(peak_gb, 2) if peak_gb else None,
             }
         )
     )
