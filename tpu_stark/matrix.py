@@ -49,8 +49,16 @@ def reverse_matrix_index_bits(mat: jnp.ndarray) -> jnp.ndarray:
     log_h = log2_strict(h)
     if log_h == 0:
         return mat
-    shaped = mat.reshape((2,) * log_h + mat.shape[1:])
-    perm = tuple(reversed(range(log_h))) + tuple(
-        range(log_h, log_h + mat.ndim - 1)
-    )
-    return shaped.transpose(perm).reshape(mat.shape)
+    # Decomposition: j = j1*n2 + j2  =>  rev(j) = rev_l2(j2)*n1 + rev_l1(j1),
+    # so the permutation is two sqrt(h)-sized axis gathers around one square
+    # transpose.  The previous rank-(log_h+1) (2,...,2) single-transpose form
+    # compiled pathologically at scale (~8 min remote compile for (2^24, 2);
+    # rank-27 at 2^26).
+    l1 = log_h // 2
+    l2 = log_h - l1
+    n1, n2 = 1 << l1, 1 << l2
+    p1 = jnp.asarray(bit_reversal_perm(l1).astype(np.int32))
+    p2 = jnp.asarray(bit_reversal_perm(l2).astype(np.int32))
+    m2 = mat.reshape((n2, n1) + mat.shape[1:])
+    g = m2[p2][:, p1]  # axes (j2, j1, ...)
+    return jnp.swapaxes(g, 0, 1).reshape(mat.shape)
