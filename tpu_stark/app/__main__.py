@@ -30,7 +30,12 @@ def main(argv=None) -> int:
         help="capture a jax.profiler device trace into DIR (bench/profiling.py)",
     )
     parser.add_argument(
-        "workloads", nargs="*", default=[], help="any of: fib bench (default both)"
+        "--log-n", type=int, default=10,
+        help="log2 rows for the keccak/poseidon2 AIR workloads",
+    )
+    parser.add_argument(
+        "workloads", nargs="*", default=[],
+        help="any of: fib bench keccak-air poseidon2-chain (default: fib bench)",
     )
     args = parser.parse_args(argv)
 
@@ -49,6 +54,10 @@ def main(argv=None) -> int:
             out.append(api.run_fib_air_zk(args.n, hash=args.hash))  # MainActivity.kt:33
         if "bench" in workloads:
             out.append(api.run_dft_benchmark())  # MainActivity.kt:35
+        if "keccak-air" in workloads:
+            out.append(api.run_keccak_air(args.log_n))
+        if "poseidon2-chain" in workloads:
+            out.append(api.run_poseidon2_chain(args.log_n))
     print("\n\n".join(out))
     return 0
 

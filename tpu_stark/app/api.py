@@ -66,6 +66,69 @@ def run_dft_benchmark() -> str:
         return f"dft benchmark failed: {e}"
 
 
+def run_keccak_air(log_n: int = 10) -> str:
+    """Prove + verify the keccak-f permutation AIR at 2^log_n rows (BASELINE
+    config 4 workload; >= the streaming threshold routes through the wide
+    prover).  Same panic-containment contract as run_fib_air_zk."""
+    registry.take_last_error()
+    try:
+        import numpy as np
+
+        from ..air.keccak_air import NUM_ROUNDS, KeccakAir, generate_trace
+        from ..prover.wide import prove_wide
+
+        n = 1 << log_n
+        trace = generate_trace(
+            num_perms=max(1, n // NUM_ROUNDS), seed=1, dtype=np.uint8
+        )[:n]
+        proof = prove_wide(
+            create_config(zk=False, hash="poseidon2"), KeccakAir(), trace, []
+        )
+        ok = verify(
+            create_config(zk=False, hash="poseidon2"), KeccakAir(), proof, []
+        )
+        result = (
+            f"keccak_air ok (rows=2^{log_n}, cols={KeccakAir.width})"
+            if ok
+            else "keccak_air failed: verification rejected the proof"
+        )
+    except Exception as e:  # noqa: BLE001
+        result = f"keccak_air panicked: {e}\n{traceback.format_exc(limit=3)}"
+    err = registry.take_last_error()
+    if err:
+        result += f"\nbackend error: {err}"
+    return result
+
+
+def run_poseidon2_chain(log_n: int = 10) -> str:
+    """Prove + verify the Poseidon2 hash-chain AIR at 2^log_n rows (BASELINE
+    config 3 workload)."""
+    registry.take_last_error()
+    try:
+        from ..air.poseidon2_air import Poseidon2ChainAir, generate_trace
+
+        trace, pis = generate_trace(1 << log_n, list(range(16)))
+        proof = prove(
+            create_config(zk=False, hash="poseidon2"),
+            Poseidon2ChainAir(), trace, pis,
+        )
+        ok = verify(
+            create_config(zk=False, hash="poseidon2"),
+            Poseidon2ChainAir(), proof, pis,
+        )
+        result = (
+            f"poseidon2_chain ok (rows=2^{log_n})"
+            if ok
+            else "poseidon2_chain failed: verification rejected the proof"
+        )
+    except Exception as e:  # noqa: BLE001
+        result = f"poseidon2_chain panicked: {e}\n{traceback.format_exc(limit=3)}"
+    err = registry.take_last_error()
+    if err:
+        result += f"\nbackend error: {err}"
+    return result
+
+
 # Typo-compat aliases: the reference ships two misspelled exports that
 # forward to the real setBackend for old callers (``setBAckend`` and a
 # ``com_plonk3`` JNI path, lib.rs:148-164); kept for surface parity.

@@ -7,8 +7,11 @@ trait-default derivations (``idft_batch`` / ``coset_lde_batch`` / ``lde_batch``
 backend with **silent CPU fallback + recorded error** (gpu_dft.rs:94-115).
 
 Backends:
-* ``tpu``       — Pallas fused-stage kernel when available, else the XLA path
-                  jitted for the default (TPU) device.
+* ``tpu``       — the XLA radix-2/four-step programs jitted for the default
+                  (TPU) device (measured FASTER than the Pallas fused-stage
+                  kernel at every benchmarked shape — OPT-0004; the Pallas
+                  kernel stays as the ``interpret`` cross-check and a study
+                  vehicle, dispatchable via ``pallas_ntt`` directly).
 * ``cpu``       — the same XLA program on the host CPU backend (the analog of
                   the reference's Radix2DitParallel fallback).
 * ``interpret`` — Pallas interpreter mode (debug; analog of the reference's
