@@ -142,7 +142,7 @@ class TestFourStep:
             h = 1 << log_h
             for w in (1, 2, 5):
                 mat = rand_mat(h, w)
-                got = from_dev(radix2._four_step_core(log_h, False, to_dev(mat), radix2._four_step_twiddle_dev(log_h, False)))
+                got = from_dev(radix2._four_step_core(log_h, False, to_dev(mat)))
                 want = from_dev(radix2._dit_core(
                     log_h, to_dev(mat),
                     *radix2._stage_twiddles(log_h, False)))
@@ -151,13 +151,13 @@ class TestFourStep:
 
     def test_vs_naive(self):
         mat = rand_mat(64, 3)
-        got = from_dev(radix2._four_step_core(6, False, to_dev(mat), radix2._four_step_twiddle_dev(6, False)))
+        got = from_dev(radix2._four_step_core(6, False, to_dev(mat)))
         np.testing.assert_array_equal(got, naive_dft_matrix(mat))
 
     def test_inverse_roundtrip(self):
         log_h = 8
         mat = rand_mat(1 << log_h, 2)
-        fwd = radix2._four_step_core(log_h, False, to_dev(mat), radix2._four_step_twiddle_dev(log_h, False))
-        back = radix2._four_step_core(log_h, True, fwd, radix2._four_step_twiddle_dev(log_h, True))
+        fwd = radix2._four_step_core(log_h, False, to_dev(mat))
+        back = radix2._four_step_core(log_h, True, fwd)
         h_inv = bb.monty_scalar(pow(1 << log_h, bb.P - 2, bb.P))
         np.testing.assert_array_equal(from_dev(bb.mul(back, h_inv)), mat)

@@ -210,11 +210,44 @@ def _cached_powers_monty(base_canonical: int, n: int) -> np.ndarray:
     return np_to_monty(np_powers(base_canonical, n))
 
 
+def _default_device_key() -> str:
+    """Cache key for the CURRENT default device: the FRI host tail runs under
+    ``jax.default_device(cpu)`` and must not receive accelerator-committed
+    buffers (and vice versa)."""
+    import jax
+
+    d = jax.config.jax_default_device
+    return str(d) if d is not None else "default"
+
+
+@functools.lru_cache(maxsize=None)
+def _powers_monty_dev(base_canonical: int, n: int, _devkey: str) -> jnp.ndarray:
+    import jax
+
+    return jax.device_put(_cached_powers_monty(base_canonical, n))
+
+
 def powers_monty(base_canonical: int, n: int) -> jnp.ndarray:
-    """Device array [1, w, ..., w^(n-1)] in Monty form (host-precomputed, cached
-    per (base, n) — the analog of the reference's per-log_n twiddle cache,
-    backend_vulkan.rs:977-996)."""
-    return jnp.asarray(_cached_powers_monty(base_canonical % P, n))
+    """Device array [1, w, ..., w^(n-1)] in Monty form, host-precomputed and
+    cached AS A DEVICE BUFFER per (base, n, default device) — the analog of
+    the reference's per-log_n twiddle cache (backend_vulkan.rs:977-996).
+    The device cache matters on the axon tunnel: a fresh ``jnp.asarray`` per
+    call re-uploads the table every time (134 MB per 2^25 NTT call)."""
+    return _powers_monty_dev(base_canonical % P, n, _default_device_key())
+
+
+def pow_exponents(base_canonical: int, e: jnp.ndarray, max_bits: int) -> jnp.ndarray:
+    """base^e in Monty form for a traced uint32 exponent array — computed
+    IN-GRAPH by square-and-multiply over ``max_bits`` exponent bits, with
+    only scalar w^(2^k) constants.  Use for large power tables inside jits:
+    a host-precomputed table either constant-folds for minutes (embedded
+    literal) or pays a 100+ MB tunnel transfer per device_put at 2^24+."""
+    acc = monty_ones(e.shape)
+    b = base_canonical % P
+    for k in range(max_bits):
+        wk = monty_scalar(pow(b, 1 << k, P))
+        acc = jnp.where((e >> np.uint32(k)) & np.uint32(1) == 1, mul(acc, wk), acc)
+    return acc
 
 
 def sum_mod(arr, axis: int = 0):

@@ -51,8 +51,16 @@ def _stage_twiddles_np(log_h: int, inverse: bool) -> tuple[np.ndarray, ...]:
     return tuple(out)
 
 
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles_dev(log_h: int, inverse: bool, _devkey: str):
+    return tuple(jax.device_put(t) for t in _stage_twiddles_np(log_h, inverse))
+
+
 def _stage_twiddles(log_h: int, inverse: bool) -> tuple[jnp.ndarray, ...]:
-    return tuple(jnp.asarray(t) for t in _stage_twiddles_np(log_h, inverse))
+    """Device-RESIDENT stage tables, cached per (log_h, inverse, default
+    device): a fresh ``jnp.asarray`` per call re-uploads sum(2^s) = 2^log_h
+    words over the tunnel on every dft_batch (134 MB per 2^25 call)."""
+    return _stage_twiddles_dev(log_h, inverse, bb._default_device_key())
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -97,20 +105,8 @@ def _four_step_twiddle_np(log_h: int, inverse: bool) -> np.ndarray:
     return bb.np_to_monty(pows[idx])
 
 
-@functools.lru_cache(maxsize=None)
-def _four_step_twiddle_dev(log_h: int, inverse: bool):
-    """Device-resident (n1, n2) twiddle.  Passed to the jitted core as an
-    ARGUMENT: closed over as a np constant, XLA constant-folds the 128 MB
-    literal at 2^25 for minutes (observed at the 2^24 zk prove) and bloats
-    the executable."""
-    import jax as _jax
-
-    return _jax.device_put(_four_step_twiddle_np(log_h, inverse))
-
-
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _four_step_core(log_h: int, inverse: bool, x: jnp.ndarray,
-                    t: jnp.ndarray) -> jnp.ndarray:
+def _four_step_core(log_h: int, inverse: bool, x: jnp.ndarray) -> jnp.ndarray:
     """Four-step DFT for tall-narrow batches, pure VPU (OPT-0016).
 
     The radix-2 stage loop on a (2^22, 2)-shaped batch leaves the VPU's
@@ -134,6 +130,16 @@ def _four_step_core(log_h: int, inverse: bool, x: jnp.ndarray,
     n1, n2 = 1 << l1, 1 << l2
     a = x.reshape(n1, n2 * w)
     b = _dit_core(l1, a, *_stage_twiddles(l1, inverse))  # B[k1, (j2, c)]
+    # join twiddle w_N^(k1*j2), built IN-GRAPH by square-and-multiply: a
+    # host-precomputed table either constant-folds for minutes as an embedded
+    # literal or pays a 100+ MB tunnel transfer (measured both at 2^24)
+    root = bb.two_adic_generator(log_h)
+    if inverse:
+        root = pow(root, bb.P - 2, bb.P)
+    e = (
+        jnp.arange(n1, dtype=bb.u32)[:, None] * jnp.arange(n2, dtype=bb.u32)
+    ) & np.uint32((1 << log_h) - 1)
+    t = bb.pow_exponents(root, e, log_h)
     b = bb.mul(b.reshape(n1, n2, w), t[:, :, None])
     c = b.transpose(1, 0, 2).reshape(n2, n1 * w)
     d = _dit_core(l2, c, *_stage_twiddles(l2, inverse))  # D[k2, (k1, c)]
@@ -173,8 +179,7 @@ def dft_batch(mat: jnp.ndarray) -> jnp.ndarray:
 
         return mxu_ntt.dft_batch(mat, use_pallas=True)
     if mode == "vpu4":
-        return _four_step_core(log_h, False, mat,
-                               _four_step_twiddle_dev(log_h, False))
+        return _four_step_core(log_h, False, mat)
     return _dit_core(log_h, mat, *_stage_twiddles(log_h, False))
 
 
@@ -190,25 +195,21 @@ def idft_batch(mat: jnp.ndarray) -> jnp.ndarray:
 
         return mxu_ntt.idft_batch(mat, use_pallas=True)
     if mode == "vpu4":
-        out = _four_step_core(log_h, True, mat,
-                              _four_step_twiddle_dev(log_h, True))
+        out = _four_step_core(log_h, True, mat)
     else:
         out = _dit_core(log_h, mat, *_stage_twiddles(log_h, True))
     h_inv = bb.monty_scalar(pow(h, bb.P - 2, bb.P))
     return bb.mul(out, h_inv)
 
 
-@jax.jit
-def _scale_rows(coeffs: jnp.ndarray, pows: jnp.ndarray) -> jnp.ndarray:
-    return bb.mul(coeffs, pows[:, None])
-
-
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def _coset_scale(coeffs: jnp.ndarray, shift: int, h: int) -> jnp.ndarray:
     """coeffs[i] *= shift^i — turns the subgroup DFT into a coset DFT.  The
-    power table enters as a device ARGUMENT, not a traced np constant: XLA
-    constant-folds embedded 2^24+ literals for minutes (see
-    _four_step_twiddle_dev)."""
-    return _scale_rows(coeffs, jax.device_put(bb.powers_monty(shift, h)))
+    power vector is built in-graph (see bb.pow_exponents): embedded 2^24+
+    literals constant-fold for minutes, device_put tables pay the tunnel."""
+    e = jnp.arange(h, dtype=bb.u32)
+    pows = bb.pow_exponents(shift, e, max(1, h.bit_length() - 1))
+    return bb.mul(coeffs, pows[:, None])
 
 
 def coset_dft_batch(mat: jnp.ndarray, shift: int) -> jnp.ndarray:
