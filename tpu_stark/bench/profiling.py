@@ -42,3 +42,19 @@ def maybe_trace(trace_dir: Optional[str]) -> Iterator[None]:
 def env_trace_dir() -> Optional[str]:
     """The ``TPU_STARK_PROFILE`` env knob (empty/unset disables)."""
     return os.environ.get("TPU_STARK_PROFILE") or None
+
+
+def hbm_note() -> str:
+    """" | hbm cur/peak GB" suffix for timing marks, when the platform
+    exposes memory_stats (phase-level HBM accounting at 2^24 scale)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        cur = stats.get("bytes_in_use")
+        peak = stats.get("peak_bytes_in_use")
+        if cur is None:
+            return ""
+        return f" | hbm {cur / 2**30:.2f}/{(peak or 0) / 2**30:.2f} GB"
+    except Exception:  # noqa: BLE001
+        return ""

@@ -246,8 +246,11 @@ class TwoAdicFriPcs:
             if timing:
                 if sync is not None:
                     jax.block_until_ready(sync)
+                from ..bench.profiling import hbm_note
+
                 now = time.perf_counter()
-                print(f"[commit] {step}: {now - t_last[0]:.3f}s", flush=True)
+                print(f"[commit] {step}: {now - t_last[0]:.3f}s{hbm_note()}",
+                      flush=True)
                 t_last[0] = now
 
         items = list(domains_and_evals)
@@ -295,13 +298,19 @@ class TwoAdicFriPcs:
             )
             codeword = self.dft.dft_batch(r_pad)
             mark(f"dft ({lde_h}, {wide.shape[1]})", codeword)
+            del wide, q_coeffs, r_pad  # free 2^24+-row intermediates eagerly
             codeword_br = reverse_matrix_index_bits(codeword)
+            del codeword
             off = 0
             for k in ks:
                 w = widths[k]
                 ldes_br[k] = codeword_br[:, off : off + w]
-                r_coeffs[k] = r_pad[:, off : off + w]
+                # store the h-height coeffs, NOT the lde_h zero-pad: the pad
+                # quadrupled retained HBM at 2^24 (r_small's high rows are 0,
+                # and _eval_at_point sizes its power vector by shape[0])
+                r_coeffs[k] = r_small[:, off : off + w]
                 off += w
+            del codeword_br, r_small
         mark("bitrev+split")
         root, merkle_data = self.val_mmcs.commit(ldes_br)
         mark("mmcs tree (salts + layers + root)")
@@ -340,8 +349,11 @@ class TwoAdicFriPcs:
 
         def mark(step: str) -> None:
             if timing:
+                from ..bench.profiling import hbm_note
+
                 now = time.perf_counter()
-                print(f"[open]   {step}: {now - t_last[0]:.3f}s", flush=True)
+                print(f"[open]   {step}: {now - t_last[0]:.3f}s{hbm_note()}",
+                      flush=True)
                 t_last[0] = now
 
         fri = self.fri

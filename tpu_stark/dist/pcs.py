@@ -144,7 +144,9 @@ class ShardedPcs(TwoAdicFriPcs):
             r_pad = dntt._pad_rows_fn(mesh, log_h, self.fri.log_blowup, w)(r_small)
             codeword_br = dntt.dft_br_fn(mesh, log_h + self.fri.log_blowup)(r_pad)
             ldes_br.append(codeword_br)
-            r_coeffs.append(r_pad)
+            # h-height coeffs, not the lde_h pad (see commit/pcs.py — the pad
+            # quadrupled retained HBM; _eval_at_point sizes by shape[0])
+            r_coeffs.append(r_small)
             domains.append(domain)
             widths.append(w)
         root, merkle_data = self.val_mmcs.commit(ldes_br)

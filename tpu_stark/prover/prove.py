@@ -40,6 +40,9 @@ from .config import StarkConfig
 from .proof import Commitments, OpenedValues, Proof
 
 
+from ..bench.profiling import hbm_note as _hbm_note
+
+
 @functools.lru_cache(maxsize=None)
 def _quotient_fn(air_key, log_n: int, log_m: int, num_pis: int):
     """One jitted program for the whole quotient pass (OPT-0003): selectors,
@@ -104,7 +107,10 @@ def prove(
     def mark(phase: str) -> None:
         if timing:
             now = time.perf_counter()
-            print(f"[prove] {phase}: {now - t_last[0]:.3f}s", flush=True)
+            print(
+                f"[prove] {phase}: {now - t_last[0]:.3f}s{_hbm_note()}",
+                flush=True,
+            )
             t_last[0] = now
 
     pcs = config.pcs
@@ -128,12 +134,14 @@ def prove(
         coeffs2 = jnp.concatenate([bb.sub(coeffs, r), r], axis=0)  # (2n, w)
         committed_domain = pcs.natural_domain_for_degree(2 * n)
         committed_evals = dft.dft_batch(coeffs2)
+        del r, coeffs, coeffs2, trace_dev  # 2^24-scale locals: free eagerly
     else:
         committed_domain = trace_domain
         committed_evals = trace_dev
 
     mark("trace randomize+lde prep")
     trace_commit, trace_data = pcs.commit([(committed_domain, committed_evals)])
+    del committed_evals
     mark("trace commit")
 
     challenger.observe_u32(log_n)
@@ -160,11 +168,14 @@ def prove(
         _register_air(air), log_n, log_n + log_qd, len(public_values)
     )
     quotient_vals = qfn(trace_on_q, pis_dev, alpha_pows_dev)
+    del trace_on_q
     mark("quotient eval")
 
     chunk_domains = quotient_domain.split_domains(qd)
     chunks = [quotient_vals[i::qd] for i in range(qd)]  # (n, 4) base mats
+    del quotient_vals
     quotient_commit, quotient_data = pcs.commit(list(zip(chunk_domains, chunks)))
+    del chunks
     mark("quotient commit")
     challenger.observe_commitment(quotient_commit)
 
