@@ -119,3 +119,33 @@ class TestFibAirZk:
         zkp = prove(create_config(zk=True, backend="cpu"), air, trace, [0, 1, 21])
         plain = prove(create_config(zk=False, backend="cpu"), air, trace, [0, 1, 21])
         assert zkp.opened_values.trace_local != plain.opened_values.trace_local
+
+
+def test_lowmem_open_byte_identical(monkeypatch):
+    """Low-memory open (release codewords post-fold, recompute query rows
+    from coefficients) must not change a byte of the proof."""
+    from tpu_stark.air.fibonacci import FibonacciAir, generate_trace_rows
+    from tpu_stark.prover.config import create_config
+    from tpu_stark.prover.proof import serialize_proof
+    from tpu_stark.prover.prove import prove
+    from tpu_stark.prover.verify import verify
+
+    air = FibonacciAir()
+    trace = generate_trace_rows(0, 1, 16)
+    pis = [0, 1, int(trace[-1, 1])]
+
+    def run():
+        return prove(
+            create_config(zk=True, backend="cpu", zk_rng="smallrng"),
+            air, trace, pis,
+        )
+
+    monkeypatch.setenv("TPU_STARK_LOWMEM_LOG", "0")
+    base = serialize_proof(run())
+    monkeypatch.setenv("TPU_STARK_LOWMEM_LOG", "2")
+    lowmem_proof = run()
+    assert serialize_proof(lowmem_proof) == base
+    assert verify(
+        create_config(zk=True, backend="cpu", zk_rng="smallrng"),
+        air, lowmem_proof, pis,
+    )

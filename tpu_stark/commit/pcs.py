@@ -153,6 +153,39 @@ def _commit_on_host(mmcs, mats_np: List[np.ndarray]):
     return root, mmcs.to_host_data(data)
 
 
+def _lowmem_rows() -> int:
+    """Committed-codeword height (log_max rows) at/above which the open phase
+    releases dense round codewords after the folds and recomputes query rows
+    from coefficients (0 disables).  Env ``TPU_STARK_LOWMEM_LOG`` (log2)
+    overrides; default 2^24 — the height where retained codewords start
+    crowding a 16 GB chip."""
+    import os
+
+    env = os.environ.get("TPU_STARK_LOWMEM_LOG")
+    if env is not None:
+        try:
+            v = int(env)
+            return 0 if v <= 0 else 1 << v
+        except ValueError:
+            pass
+    return 1 << 24
+
+
+class _LazyLde:
+    """Query-phase stand-in for a released committed codeword: recomputes
+    bit-reversed LDE rows on demand from the stored h-height coefficients."""
+
+    def __init__(self, r_small: jnp.ndarray, lde_h: int, dft):
+        self._rc = r_small
+        self._dft = dft
+        self.shape = (lde_h, int(r_small.shape[1]))
+
+    def __getitem__(self, rows):
+        h, w = int(self._rc.shape[0]), int(self._rc.shape[1])
+        r_pad = jnp.zeros((self.shape[0], w), dtype=bb.u32).at[:h].set(self._rc)
+        return reverse_matrix_index_bits(self._dft.dft_batch(r_pad))[rows]
+
+
 def _pad_cols(mat: jnp.ndarray, multiple: int) -> jnp.ndarray:
     w = mat.shape[1]
     pad = (-w) % multiple
@@ -569,6 +602,22 @@ class TwoAdicFriPcs:
         # 4. Proof of work.
         pow_witness = challenger.grind(fri.proof_of_work_bits)
         mark("PoW grind")
+
+        # Low-memory mode: every consumer of the round codewords except the
+        # ~num_queries row gathers below has now run, so swap the committed
+        # LDE matrices for lazy recomputors (r_small -> pad -> dft -> bitrev
+        # on gather).  At 2^24 zk the dense trace+quotient codewords hold
+        # ~2.6 GB through the query phase for ~100 rows of actual use.
+        if _lowmem_rows() and (1 << log_max) >= _lowmem_rows():
+            for data, _pts in rounds:
+                for m_idx in range(len(data.merkle.matrices)):
+                    m = data.merkle.matrices[m_idx]
+                    if hasattr(m, "reduced_contrib"):  # already streamed
+                        continue
+                    data.merkle.matrices[m_idx] = _LazyLde(
+                        data.r_coeffs[m_idx], int(m.shape[0]), self.dft
+                    )
+            mark("lowmem codeword release")
 
         # 5. Queries — indices first (transcript order unchanged), then ALL
         # trees' openings (commit rounds + every fold level) pooled into ONE
