@@ -227,12 +227,28 @@ def _powers_monty_dev(base_canonical: int, n: int, _devkey: str) -> jnp.ndarray:
     return jax.device_put(_cached_powers_monty(base_canonical, n))
 
 
+def _tracing() -> bool:
+    """True while inside a jit trace — device-buffer caches must NOT be
+    consulted or populated there (a traced device_put yields a tracer, and a
+    cached tracer poisons every later call: UnexpectedTracerError)."""
+    try:
+        from jax._src import core as _jcore
+
+        return not _jcore.trace_state_clean()
+    except Exception:  # noqa: BLE001 — API moved: fall back to constants
+        return True
+
+
 def powers_monty(base_canonical: int, n: int) -> jnp.ndarray:
     """Device array [1, w, ..., w^(n-1)] in Monty form, host-precomputed and
     cached AS A DEVICE BUFFER per (base, n, default device) — the analog of
     the reference's per-log_n twiddle cache (backend_vulkan.rs:977-996).
     The device cache matters on the axon tunnel: a fresh ``jnp.asarray`` per
-    call re-uploads the table every time (134 MB per 2^25 NTT call)."""
+    call re-uploads the table every time (134 MB per 2^25 NTT call).
+    Inside a jit trace this returns a plain np-backed constant instead (the
+    jit embeds it; see _tracing)."""
+    if _tracing():
+        return jnp.asarray(_cached_powers_monty(base_canonical % P, n))
     return _powers_monty_dev(base_canonical % P, n, _default_device_key())
 
 

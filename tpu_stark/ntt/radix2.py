@@ -59,7 +59,12 @@ def _stage_twiddles_dev(log_h: int, inverse: bool, _devkey: str):
 def _stage_twiddles(log_h: int, inverse: bool) -> tuple[jnp.ndarray, ...]:
     """Device-RESIDENT stage tables, cached per (log_h, inverse, default
     device): a fresh ``jnp.asarray`` per call re-uploads sum(2^s) = 2^log_h
-    words over the tunnel on every dft_batch (134 MB per 2^25 call)."""
+    words over the tunnel on every dft_batch (134 MB per 2^25 call).  Inside
+    a jit trace (e.g. the four-step core's sub-transforms, whose tables are
+    tiny) this returns plain constants — a cached traced device_put would
+    poison the cache with escaped tracers (see bb._tracing)."""
+    if bb._tracing():
+        return tuple(jnp.asarray(t) for t in _stage_twiddles_np(log_h, inverse))
     return _stage_twiddles_dev(log_h, inverse, bb._default_device_key())
 
 
