@@ -153,6 +153,17 @@ def _commit_on_host(mmcs, mats_np: List[np.ndarray]):
     return root, mmcs.to_host_data(data)
 
 
+def _group_budget_bytes() -> int:
+    """Max bytes of one grouped commit transform (see pcs.commit); env
+    ``TPU_STARK_COMMIT_GROUP_MB`` overrides (default 1 GiB)."""
+    import os
+
+    try:
+        return int(os.environ.get("TPU_STARK_COMMIT_GROUP_MB", "1024")) << 20
+    except ValueError:
+        return 1 << 30
+
+
 def _lowmem_rows() -> int:
     """Committed-codeword height (log_max rows) at/above which the open phase
     releases dense round codewords after the folds and recomputes query rows
@@ -172,18 +183,36 @@ def _lowmem_rows() -> int:
 
 
 class _LazyLde:
-    """Query-phase stand-in for a released committed codeword: recomputes
-    bit-reversed LDE rows on demand from the stored h-height coefficients."""
+    """Stand-in for a released committed codeword: recomputes the LDE on
+    demand from the stored h-height coefficients.  In low-memory mode every
+    post-commit consumer (quotient-domain slicing, reduced openings, random
+    codeword combine, query row gathers) goes through here, so the dense
+    codeword exists only transiently inside each consumer."""
 
     def __init__(self, r_small: jnp.ndarray, lde_h: int, dft):
         self._rc = r_small
         self._dft = dft
         self.shape = (lde_h, int(r_small.shape[1]))
 
-    def __getitem__(self, rows):
+    def _codeword(self) -> jnp.ndarray:
         h, w = int(self._rc.shape[0]), int(self._rc.shape[1])
         r_pad = jnp.zeros((self.shape[0], w), dtype=bb.u32).at[:h].set(self._rc)
-        return reverse_matrix_index_bits(self._dft.dft_batch(r_pad))[rows]
+        return self._dft.dft_batch(r_pad)
+
+    def lde_br(self) -> jnp.ndarray:
+        return reverse_matrix_index_bits(self._codeword())
+
+    def evals_strided(self, stride: int) -> jnp.ndarray:
+        return self._codeword()[::stride]
+
+    def reduced_contrib(self, apows, p_z, z_dev, y_br) -> jnp.ndarray:
+        return _reduced_quotient(self.lde_br(), apows, p_z, z_dev, y_br)
+
+    def combine_contrib(self, apows) -> jnp.ndarray:
+        return _combine_columns(self.lde_br(), apows)
+
+    def __getitem__(self, rows):
+        return self.lde_br()[rows]
 
 
 def _pad_cols(mat: jnp.ndarray, multiple: int) -> jnp.ndarray:
@@ -295,7 +324,27 @@ class TwoAdicFriPcs:
         for k, (domain, evals) in enumerate(items):
             assert int(evals.shape[0]) == domain.size, "evals height mismatch"
             groups.setdefault(domain.log_n, []).append(k)
+        # Same-height matrices share one wide transform (OPT-0012: fills VPU
+        # lanes for narrow chunks) — but ONLY while the grouped transform is
+        # small enough that its in-flight intermediates don't crowd HBM: at
+        # 2^24 the grouped (2^25, 16) quotient transform peaks ~10 GB of
+        # workspace while ~6 GB of trace tree is resident (observed OOM).
+        # Above the budget, split into sub-batches; lanes are saturated at
+        # these heights anyway, and proof bytes are identical either way.
+        budget_elems = _group_budget_bytes() // 4
+        split_groups: List[Tuple[int, List[int]]] = []
         for log_n, ks in groups.items():
+            lde_h_g = (1 << log_n) << self.fri.log_blowup
+            batch: List[int] = []
+            wsum = 0
+            for k in ks:
+                if batch and (wsum + widths[k]) * lde_h_g > budget_elems:
+                    split_groups.append((log_n, batch))
+                    batch, wsum = [], 0
+                batch.append(k)
+                wsum += widths[k]
+            split_groups.append((log_n, batch))
+        for log_n, ks in split_groups:
             h = 1 << log_n
             lde_h = h << self.fri.log_blowup
             wide = (
@@ -347,6 +396,17 @@ class TwoAdicFriPcs:
         mark("bitrev+split")
         root, merkle_data = self.val_mmcs.commit(ldes_br)
         mark("mmcs tree (salts + layers + root)")
+        # Low-memory: once the tree exists the dense codewords' only readers
+        # are recompute-friendly (see _LazyLde); at 2^24-scale heights drop
+        # them now rather than pinning GBs until the query phase.
+        if _lowmem_rows():
+            for k in range(len(items)):
+                lde_h_k = domains[k].size << self.fri.log_blowup
+                if lde_h_k >= _lowmem_rows():
+                    merkle_data.matrices[k] = _LazyLde(
+                        r_coeffs[k], lde_h_k, self.dft
+                    )
+            ldes_br = None
         return root, PcsProverData(merkle_data, r_coeffs, domains, widths)
 
     def get_evaluations_on_domain(
@@ -363,10 +423,11 @@ class TwoAdicFriPcs:
         assert domain.shift == expected_shift % bb.P, (
             f"domain shift {domain.shift} not the LDE coset {expected_shift}"
         )
-        codeword_br = data.merkle.matrices[idx]
-        codeword = reverse_matrix_index_bits(codeword_br)
         stride = lde_h // domain.size
-        return codeword[::stride]
+        mat = data.merkle.matrices[idx]
+        if isinstance(mat, _LazyLde):
+            return mat.evals_strided(stride)
+        return reverse_matrix_index_bits(mat)[::stride]
 
     # -- open --------------------------------------------------------------
     def open(
@@ -500,8 +561,13 @@ class TwoAdicFriPcs:
                 w_total = sum(g[3] for g in grp)
                 apows = _alpha_pows_dev(alpha, off, w_total)
                 if z_y is None:
-                    contrib = _combine_columns(grp[0][1], apows)
-                elif hasattr(grp[0][1], "reduced_contrib"):  # streamed wide
+                    m0 = grp[0][1]
+                    contrib = (
+                        m0.combine_contrib(apows)
+                        if hasattr(m0, "combine_contrib")
+                        else _combine_columns(m0, apows)
+                    )
+                elif hasattr(grp[0][1], "reduced_contrib"):  # streamed/lazy
                     contrib = grp[0][1].reduced_contrib(
                         apows, grp[0][2], ext4.scalar(z_y), y_br
                     )
@@ -603,21 +669,6 @@ class TwoAdicFriPcs:
         pow_witness = challenger.grind(fri.proof_of_work_bits)
         mark("PoW grind")
 
-        # Low-memory mode: every consumer of the round codewords except the
-        # ~num_queries row gathers below has now run, so swap the committed
-        # LDE matrices for lazy recomputors (r_small -> pad -> dft -> bitrev
-        # on gather).  At 2^24 zk the dense trace+quotient codewords hold
-        # ~2.6 GB through the query phase for ~100 rows of actual use.
-        if _lowmem_rows() and (1 << log_max) >= _lowmem_rows():
-            for data, _pts in rounds:
-                for m_idx in range(len(data.merkle.matrices)):
-                    m = data.merkle.matrices[m_idx]
-                    if hasattr(m, "reduced_contrib"):  # already streamed
-                        continue
-                    data.merkle.matrices[m_idx] = _LazyLde(
-                        data.r_coeffs[m_idx], int(m.shape[0]), self.dft
-                    )
-            mark("lowmem codeword release")
 
         # 5. Queries — indices first (transcript order unchanged), then ALL
         # trees' openings (commit rounds + every fold level) pooled into ONE
