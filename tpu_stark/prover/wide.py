@@ -57,8 +57,17 @@ from ..matrix import log2_strict, reverse_matrix_index_bits
 from .proof import Commitments, OpenedValues, Proof
 
 
-def _wide_chunk_default() -> int:
-    return int(os.environ.get("TPU_STARK_WIDE_CHUNK", "512"))
+def _wide_chunk_for(lde_h: int) -> int:
+    """Column-chunk width: bounded so one chunk's (lde_h, chunk) u32
+    intermediate stays ~<=256 MB — the commit pipeline holds several chunk
+    intermediates in flight (monty cast, coeffs, pad, NTT out, bit-reversal,
+    absorb transpose) and 512-col chunks at 2^21 rows OOMed a 16 GB chip.
+    TPU_STARK_WIDE_CHUNK overrides."""
+    env = os.environ.get("TPU_STARK_WIDE_CHUNK")
+    if env:
+        return int(env)
+    budget_elems = (256 << 20) // 4
+    return max(poseidon2_mmcs.RATE, min(512, (budget_elems // lde_h) // 8 * 8))
 
 
 class WideMatrixSource:
@@ -84,7 +93,7 @@ class WideMatrixSource:
         self.lde_h = self.n << log_blowup
         self.dft = dft
         self.domain = domain
-        self.col_chunk = col_chunk or _wide_chunk_default()
+        self.col_chunk = col_chunk or _wide_chunk_for(self.n << log_blowup)
         assert self.col_chunk % poseidon2_mmcs.RATE == 0
         self.trace_dev = jax.device_put(trace_np)
         # relabeling scale onto the plain frame (same as pcs.commit)
@@ -223,6 +232,9 @@ def commit_wide(
             state_t = pallas_poseidon2.absorb_rows_transposed(
                 state_t, mat_t, n_items=wc, first=first
             )
+            # serialize chunks: an unbounded dispatch queue lets several
+            # chunks' multi-GB NTT intermediates coexist (observed OOM)
+            jax.block_until_ready(state_t)
             first = False
         digests = state_t[: poseidon2_mmcs.OUT].T
     else:
