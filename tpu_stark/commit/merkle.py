@@ -38,18 +38,26 @@ from ..fields import babybear as bb
 from ..hash import sponge
 from ..matrix import log2_strict
 from ..compat.smallrng import SmallRng
+from . import lowmem
 
 Digest = Tuple[int, int, int, int]  # 4 u64 words
 
 
 @dataclasses.dataclass
 class ProverData:
-    """Committed matrices (Monty, device), salts, and all digest layers."""
+    """Committed matrices (Monty, device), salts, and all digest layers.
+
+    Low-memory mode (commit/lowmem.py): ``salts`` entries may be lazy
+    descriptors (``device_rng.LazyMatrix``) and the ``dropped_layers``
+    leaf-most digest layers are released after the root — ``layers[0]`` is
+    then the level-``dropped_layers`` layer and query openings reconstruct
+    the missing siblings from re-hashed leaf blocks."""
 
     matrices: List[jnp.ndarray]
     salts: Optional[List[jnp.ndarray]]  # Monty, (h_i, SALT_ELEMS) or None
     layers: List[np.ndarray]  # host (N_l, 4, 2) uint32, leaf layer first
     root: Digest
+    dropped_layers: int = 0
 
 
 @dataclasses.dataclass
@@ -91,14 +99,27 @@ class MerkleTreeMmcs:
         heights = [int(m.shape[0]) for m in matrices]
         for h in heights:
             log2_strict(h)
+        lm = lowmem.lowmem_rows()
         salts: Optional[List[jnp.ndarray]] = None
+        salt_store: Optional[List] = None
         if self.hiding:
-            salts = [
-                jnp.asarray(self._rng.sample_babybear_matrix_monty(h, self.SALT_ELEMS))
-                for h in heights
-            ]
-            if self.sharding is not None:
-                salts = [jax.device_put(s, self.sharding) for s in salts]
+            salts, salt_store = [], []
+            for h in heights:
+                if (lm and h >= lm and self.sharding is None
+                        and hasattr(self._rng, "sample_lazy")):
+                    # lowmem lever (a): counter-based salt stream — hash the
+                    # transient matrix, retain only the descriptor
+                    handle = self._rng.sample_lazy(h, self.SALT_ELEMS)
+                    salts.append(handle.materialize())
+                    salt_store.append(handle)
+                else:
+                    s = jnp.asarray(
+                        self._rng.sample_babybear_matrix_monty(h, self.SALT_ELEMS)
+                    )
+                    if self.sharding is not None:
+                        s = jax.device_put(s, self.sharding)
+                    salts.append(s)
+                    salt_store.append(s)
 
         # GSPMD-sharded commits keep the XLA sponge: pallas_call on a
         # multi-device global array would force a gather (the sharded tree in
@@ -106,11 +127,19 @@ class MerkleTreeMmcs:
         # local shapes and dispatches normally).
         impl = "xla" if self.sharding is not None else None
         layers = _build_layers(matrices, salts, impl)
+        del salts  # lazy handles: drop the transient dense salt matrices now
         # layers stay device-resident; query openings fetch the few digests
         # they touch in one batched transfer (open_batch) — eager host
         # conversion of every layer costs hundreds of tunnel round trips
         root = _digest_at(layers[-1], 0)
-        return root, ProverData(matrices, salts, layers, root)
+        # lowmem lever (b): release the K leaf-most layers (single-height
+        # trees only — injection would make block re-hashing multi-layer)
+        drop = 0
+        if (lm and len(set(heights)) == 1 and heights[0] >= lm
+                and self.sharding is None):
+            drop = min(lowmem.drop_layers(), len(layers) - 1)
+            layers = layers[drop:]
+        return root, ProverData(matrices, salt_store, layers, root, drop)
 
     @staticmethod
     def to_host_data(data: ProverData) -> ProverData:
@@ -122,6 +151,7 @@ class MerkleTreeMmcs:
             None if data.salts is None else [np.asarray(s) for s in data.salts],
             [np.asarray(l) for l in data.layers],
             data.root,
+            data.dropped_layers,
         )
 
     # -- open --------------------------------------------------------------
@@ -144,58 +174,103 @@ class MerkleTreeMmcs:
         and return ``(device_arrays, finish)``; the caller pools many trees'
         arrays into ONE ``device_get`` and hands each tree's slice back to its
         ``finish`` (OPT-0017: pcs.open previously paid one ~30ms+ tunnel round
-        trip per tree — rounds + every FRI fold level)."""
+        trip per tree — rounds + every FRI fold level).
+
+        Low-memory trees (``dropped_layers`` K > 0): instead of per-query row
+        gathers, the 2^K-aligned leaf-row *block* around every query is
+        gathered once per matrix (so lazily-recomputed codewords materialize
+        once), the missing K sibling levels are re-hashed on device, and
+        opened rows are sliced out of the blocks host-side."""
         max_h = max(int(m.shape[0]) for m in data.matrices)
         log_max = log2_strict(max_h)
         idx_np = np.asarray(list(indices), dtype=np.int64)
+        K = getattr(data, "dropped_layers", 0)
         fetch: List = []  # one vectorized gather per matrix/salt/layer
-        for k, m in enumerate(data.matrices):
-            h = int(m.shape[0])
-            rows_np = idx_np >> (log_max - log2_strict(h))
-            if isinstance(m, np.ndarray):  # host tree (FRI host tail, OPT-0018)
-                fetch.append(bb.np_from_monty(m[rows_np]))
-            else:
-                fetch.append(bb.to_u32(m[jnp.asarray(rows_np)]))  # (Q, w)
-            if data.salts is not None:
-                s = data.salts[k]
-                fetch.append(
-                    bb.np_from_monty(np.asarray(s)[rows_np])
-                    if isinstance(s, np.ndarray)
-                    else bb.to_u32(s[jnp.asarray(rows_np)])
-                )
-        cur = idx_np
-        for l in range(log_max):
-            layer = data.layers[l]
-            sib = cur ^ 1
+
+        def rows_u32(m, rows_np):
+            if hasattr(m, "materialize"):  # lazy salt descriptor
+                return bb.to_u32(m.materialize()[jnp.asarray(rows_np)])
+            if isinstance(m, np.ndarray):  # host tree (FRI host tail)
+                return bb.np_from_monty(m[rows_np])
+            return bb.to_u32(m[jnp.asarray(rows_np)])
+
+        if K:
+            # single-height tree by construction (commit gates the drop)
+            blocks = np.unique(idx_np >> K)
+            block_rows = ((blocks[:, None] << K) + np.arange(1 << K)).ravel()
+            parts: List = []
+            for k, m in enumerate(data.matrices):
+                parts.append(rows_u32(m, block_rows))  # (B<<K, w)
+                if data.salts is not None:
+                    parts.append(rows_u32(data.salts[k], block_rows))
+            fetch.extend(parts)
+            # mini-trees: leaf digests of every block + K-1 compress levels
+            level = _mini_leaf_digests(*[jnp.asarray(p) for p in parts])
+            for _l in range(K):
+                fetch.append(level)  # (B << (K - _l), 4, 2)
+                if _l < K - 1:
+                    level = _compress_layer(level)
+        else:
+            for k, m in enumerate(data.matrices):
+                h = int(m.shape[0])
+                rows_np = idx_np >> (log_max - log2_strict(h))
+                fetch.append(rows_u32(m, rows_np))  # (Q, w)
+                if data.salts is not None:
+                    fetch.append(rows_u32(data.salts[k], rows_np))
+        for l in range(K, log_max):
+            layer = data.layers[l - K]
+            sib = (idx_np >> l) ^ 1
             fetch.append(  # (Q, 4, 2); jax.device_get passes np through
                 layer[sib]
                 if isinstance(layer, np.ndarray)
                 else layer[jnp.asarray(sib)]
             )
-            cur = cur >> 1
+
+        blocks_arr = blocks if K else None
 
         def finish(host: List) -> List[BatchOpening]:
-            return self._assemble_openings(idx_np, data, log_max, host)
+            return self._assemble_openings(
+                idx_np, data, log_max, host, K, blocks_arr
+            )
 
         return fetch, finish
 
     def _assemble_openings(
-        self, idx_np: np.ndarray, data: ProverData, log_max: int, host: List
+        self,
+        idx_np: np.ndarray,
+        data: ProverData,
+        log_max: int,
+        host: List,
+        K: int = 0,
+        blocks: Optional[np.ndarray] = None,
     ) -> List[BatchOpening]:
         out: List[BatchOpening] = []
         n_mat = len(data.matrices)
         stride = n_mat * (2 if data.salts is not None else 1)
         for q in range(len(idx_np)):
+            i = int(idx_np[q])
             opened, opened_salts = [], [] if data.salts is not None else None
+            if K:
+                bpos = int(np.searchsorted(blocks, i >> K))
+                row_pos = (bpos << K) + (i & ((1 << K) - 1))
+            else:
+                row_pos = q
             pos = 0
             for _ in data.matrices:
-                opened.append(np.array(host[pos][q]))
+                opened.append(np.array(host[pos][row_pos]))
                 pos += 1
                 if opened_salts is not None:
-                    opened_salts.append(np.array(host[pos][q]))
+                    opened_salts.append(np.array(host[pos][row_pos]))
                     pos += 1
             proof = []
-            for l in range(log_max):
+            for l in range(K):
+                # reconstructed mini-tree level l: blocks hold 2^(K-l) digests
+                local = ((i >> l) ^ 1) & ((1 << (K - l)) - 1)
+                row = host[stride + l][(bpos << (K - l)) + local]
+                proof.append(
+                    tuple(int(row[j, 0]) | (int(row[j, 1]) << 32) for j in range(4))
+                )
+            for l in range(K, log_max):
                 row = host[stride + l][q]
                 proof.append(
                     tuple(int(row[j, 0]) | (int(row[j, 1]) << 32) for j in range(4))
@@ -256,6 +331,15 @@ def gather_if_tiny(arr: jnp.ndarray) -> jnp.ndarray:
             arr, jax.sharding.SingleDeviceSharding(next(iter(sorted(devs, key=lambda d: d.id))))
         )
     return arr
+
+
+@jax.jit
+def _mini_leaf_digests(*parts_u32):
+    """Leaf digests of gathered leaf-row blocks (already canonical u32, in
+    the same matrix/salt concatenation order as ``_leaf_layer``) — the
+    dropped-layer reconstruction path.  Must reproduce the committed leaf
+    layer bit-exactly (tested, tests/test_lowmem.py)."""
+    return sponge.hash_field_rows_batched(jnp.concatenate(parts_u32, axis=1))
 
 
 @functools.partial(jax.jit, static_argnames=("impl",))

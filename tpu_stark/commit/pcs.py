@@ -164,22 +164,7 @@ def _group_budget_bytes() -> int:
         return 1 << 30
 
 
-def _lowmem_rows() -> int:
-    """Committed-codeword height (log_max rows) at/above which the open phase
-    releases dense round codewords after the folds and recomputes query rows
-    from coefficients (0 disables).  Env ``TPU_STARK_LOWMEM_LOG`` (log2)
-    overrides; default 2^24 — the height where retained codewords start
-    crowding a 16 GB chip."""
-    import os
-
-    env = os.environ.get("TPU_STARK_LOWMEM_LOG")
-    if env is not None:
-        try:
-            v = int(env)
-            return 0 if v <= 0 else 1 << v
-        except ValueError:
-            pass
-    return 1 << 24
+from .lowmem import lowmem_rows as _lowmem_rows
 
 
 class _LazyLde:

@@ -52,6 +52,22 @@ def _sample_monty(key, rows: int, cols: int) -> jnp.ndarray:
     return bb.add(bb.from_u32(hi), lo)
 
 
+class LazyMatrix:
+    """Descriptor of one counter-based sample call: the matrix is a pure
+    function of (folded key, shape), so holders can release the dense array
+    and regenerate it on demand — bit-identical to the eager sample (same
+    ``_sample_monty`` program).  The 2^24 lowmem lever for hiding salts
+    (commit/lowmem.py): commit hashes the transient matrix into the leaf
+    layer, stores this handle, and the query phase regenerates once."""
+
+    def __init__(self, key, rows: int, cols: int):
+        self._key = key
+        self.shape = (rows, cols)
+
+    def materialize(self) -> jnp.ndarray:
+        return _sample_monty(self._key, *self.shape)
+
+
 class DeviceRng:
     """Stateful call counter over a fixed Threefry key (one fold_in per
     sample call — the device analog of the persistent host rng whose state
@@ -69,9 +85,14 @@ class DeviceRng:
         self._counter = 0
 
     def sample_babybear_matrix_monty(self, rows: int, cols: int) -> jnp.ndarray:
+        return self.sample_lazy(rows, cols).materialize()
+
+    def sample_lazy(self, rows: int, cols: int) -> LazyMatrix:
+        """Advance the stream but defer generation (values identical to
+        ``sample_babybear_matrix_monty`` of the same call position)."""
         key = jax.random.fold_in(self._key, self._counter)
         self._counter += 1
-        return _sample_monty(key, rows, cols)
+        return LazyMatrix(key, rows, cols)
 
 
 def make_zk_rng(mode: str, seed: int, stream: str = ""):
