@@ -258,6 +258,7 @@ class TwoAdicFriPcs:
         challenge_mmcs: Optional[MerkleTreeMmcs] = None,
         num_random_codewords: int = 0,
         rng: Optional[SmallRng] = None,
+        zk_layout: str = "tpu",
     ):
         self.dft = dft
         self.fri = fri_params
@@ -267,6 +268,16 @@ class TwoAdicFriPcs:
         )
         self.num_random_codewords = num_random_codewords
         self.rng = rng if rng is not None else SmallRng.seed_from_u64(1)
+        # Hiding layout: "tpu" commits the random codewords as a separate
+        # round at open time only; "p3" additionally appends
+        # ``num_random_codewords`` random COLUMNS to every matrix inside the
+        # hiding commit — the layout the shipped reference binary uses
+        # (`p3_fri::hiding_pcs::add_random_cols` + the "randomize polys"
+        # span, docs/so_evidence.md §3).  Both keep the separate
+        # randomization commitment the p3 verifier demands ("ZK is enabled,
+        # so we should have randomization commitment", so_evidence §5).
+        assert zk_layout in ("tpu", "p3"), zk_layout
+        self.zk_layout = zk_layout
 
     # -- domains -----------------------------------------------------------
     def natural_domain_for_degree(self, degree: int) -> TwoAdicCoset:
@@ -274,7 +285,9 @@ class TwoAdicFriPcs:
 
     # -- commit ------------------------------------------------------------
     def commit(
-        self, domains_and_evals: Sequence[Tuple[TwoAdicCoset, jnp.ndarray]]
+        self,
+        domains_and_evals: Sequence[Tuple[TwoAdicCoset, jnp.ndarray]],
+        _randomize: bool = True,
     ) -> Tuple[Digest, PcsProverData]:
         """Commit bit-reversed coset LDEs of the given evaluation matrices
         (Monty device arrays, natural row order on their domain).
@@ -301,6 +314,28 @@ class TwoAdicFriPcs:
                 t_last[0] = now
 
         items = list(domains_and_evals)
+        if _randomize and self.num_random_codewords > 0 and self.zk_layout == "p3":
+            # p3 layout: add_random_cols — every hiding commit appends
+            # num_random_codewords random columns to each matrix (drawn from
+            # the codeword rng per matrix in commit order), so query openings
+            # of the matrix itself are hiding beyond the salt.
+            items = [
+                (
+                    d,
+                    jnp.concatenate(
+                        [
+                            e,
+                            jnp.asarray(
+                                self.rng.sample_babybear_matrix_monty(
+                                    int(e.shape[0]), self.num_random_codewords
+                                )
+                            ),
+                        ],
+                        axis=1,
+                    ),
+                )
+                for d, e in items
+            ]
         ldes_br: List[Optional[jnp.ndarray]] = [None] * len(items)
         r_coeffs: List[Optional[jnp.ndarray]] = [None] * len(items)
         domains = [d for d, _ in items]
@@ -451,7 +486,9 @@ class TwoAdicFriPcs:
             )
             rand_domain = TwoAdicCoset(log2_strict(n_max), 1)
             rand_evals = self.dft.dft_batch(rand_coeffs)
-            random_commit, r_data = self.commit([(rand_domain, rand_evals)])
+            random_commit, r_data = self.commit(
+                [(rand_domain, rand_evals)], _randomize=False
+            )
             challenger.observe_commitment(random_commit)
             rounds.append((r_data, [[]]))
         else:

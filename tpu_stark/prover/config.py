@@ -41,6 +41,7 @@ def create_config(
     hash: str = "keccak",
     mesh=None,
     zk_rng: str = "device",
+    zk_layout: str = "tpu",
 ) -> StarkConfig:
     """Assemble a full config.
 
@@ -57,6 +58,9 @@ def create_config(
     (OPT-0014 — the host stream's transfer dominated hiding commits);
     ``"smallrng"`` is the reference-parity host Xoshiro256++ stream
     (SmallRng::seed_from_u64, fib_air.rs:50,65).
+    ``zk_layout``: ``"tpu"`` (round-1/2 layout) or ``"p3"`` — random columns
+    appended to every hiding commit per the shipped binary's
+    ``add_random_cols`` evidence (commit/pcs.py, docs/so_evidence.md §3).
     """
     fri = fri_params if fri_params is not None else create_test_fri_params(2)
     dft = Dft(backend=backend)
@@ -88,6 +92,7 @@ def create_config(
             challenge_mmcs=mmcs_cls(),
             num_random_codewords=4,
             rng=make_zk_rng(zk_rng, rng_seed, "codewords"),
+            zk_layout=zk_layout,
         )
     else:
         pcs = pcs_cls(dft, fri, val_mmcs=mmcs_cls(), challenge_mmcs=mmcs_cls())

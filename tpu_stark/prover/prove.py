@@ -152,6 +152,11 @@ def prove(
     # -- 2. quotient over the disjoint coset (one jitted program) ----------
     quotient_domain = trace_domain.create_disjoint_domain(n * qd)
     trace_on_q = pcs.get_evaluations_on_domain(trace_data, 0, quotient_domain)
+    if int(trace_on_q.shape[1]) > width:
+        # p3 zk layout: the committed trace carries appended random columns
+        # (add_random_cols); constraints read only the AIR columns.  The
+        # randomized T' still agrees with T on H, so the quotient divides.
+        trace_on_q = trace_on_q[:, :width]
     num_constraints, _ = get_symbolic_info(air, len(public_values))
     apows = [(1, 0, 0, 0)]
     for _ in range(num_constraints - 1):

@@ -42,11 +42,19 @@ def verify(
         return False
     qd = 1 << log_qd
     width = air.width
+    # p3 zk layout: every hiding commit appended num_random_codewords random
+    # columns (pcs.zk_layout, docs/so_evidence.md §3) — opened rows are wider
+    # and the extra columns participate only in the FRI reduced opening.
+    extra = (
+        pcs.num_random_codewords
+        if config.zk and getattr(pcs, "zk_layout", "tpu") == "p3"
+        else 0
+    )
     if (
-        len(proof.opened_values.trace_local) != width
-        or len(proof.opened_values.trace_next) != width
+        len(proof.opened_values.trace_local) != width + extra
+        or len(proof.opened_values.trace_next) != width + extra
         or len(proof.opened_values.quotient_chunks) != qd
-        or any(len(c) != 4 for c in proof.opened_values.quotient_chunks)
+        or any(len(c) != 4 + extra for c in proof.opened_values.quotient_chunks)
     ):
         return False
 
@@ -68,8 +76,8 @@ def verify(
     # -- constraint check at zeta ------------------------------------------
     sels = trace_domain.selectors_at_point_ext(zeta)
     builder = VerifierBuilder(
-        opened_local=proof.opened_values.trace_local,
-        opened_next=proof.opened_values.trace_next,
+        opened_local=proof.opened_values.trace_local[:width],
+        opened_next=proof.opened_values.trace_next[:width],
         selectors=sels,
         public_values=public_values,
         alpha=alpha,
@@ -92,7 +100,7 @@ def verify(
             zps = rf.emul(zps, rf.emul(zj, rf.einv(at_first)))
         chunk_val = (0, 0, 0, 0)
         basis = (1, 0, 0, 0)
-        for coeff in chunk:
+        for coeff in chunk[:4]:  # p3 layout: trailing cols are random
             chunk_val = rf.eadd(chunk_val, rf.emul(basis, tuple(coeff)))
             basis = rf.emul(basis, x_basis)
         rhs = rf.eadd(rhs, rf.emul(zps, chunk_val))
