@@ -1,39 +1,45 @@
 """Per-kernel speed-of-light analysis (BASELINE.json: "every field kernel ...
 is measured against per-chip speed-of-light").
 
-Approach: measure the device's empirically-achievable roofs with micro-probes
-built from the SAME primitive mix each kernel is bound by, then score every
-hot kernel as achieved-rate / roof:
+Methodology (recalibrated in round 3 — the round-2 report scored two kernels
+ABOVE their roofs, which meant the probes under-measured achievable rates
+and the hand-derived op counts over-counted what XLA actually executes):
 
-* ``montmul`` roof — a dependent chain of BabyBear Montgomery multiplies
-  (the inner op of NTT butterflies, Poseidon2 S-boxes and quotient eval;
-  SURVEY.md par7.2 "hard parts" #1).  All multiply-bound kernels are scored
-  in montmuls/s against this.
-* ``bitop`` roof — a dependent chain of u32 xor/shift/or/and (the Keccak
-  primitive mix).  Keccak is scored in u32 bit-ops/s against this.
-* ``hbm`` roof — a streaming read+write over a large array; bandwidth-bound
-  kernels (bit-reversal gathers, transposes) are scored in bytes/s.
-
-The probes chain R dependent steps inside ONE jitted ``fori_loop`` and force
-a device_get at the end — the timing discipline of bench_hash.py (the axon
-tunnel's ``block_until_ready`` can return early; a dependent chain + fetch
-cannot).
+1. **Audited op counts.**  Every XLA kernel's work is counted mechanically
+   from its StableHLO lowering (``audit_ops``): integer ``multiply`` ops and
+   integer ALU ops (add/sub/logic/shift/select/compare), weighted by result
+   element count.  No hand-derived per-op constants — fusion-level
+   simplifications the compiler applies to the real kernel are the same ones
+   it applies to the probe, so the ratio is meaningful.  (Pallas kernels are
+   custom-calls with no visible HLO; they are audited via their forced-XLA
+   twin, which computes the same math.)
+2. **Measured roofs.**  ``mul`` and ``alu`` roofs come from dependent-chain
+   probes (ILP x chained steps inside one jitted fori_loop, device_get
+   forced — the tunnel's block_until_ready returns early); ``hbm`` from a
+   streaming read+write sweep.  Probe work is audited with the SAME counter.
+3. **Roof lifting.**  If any kernel sustains a higher audited op rate than
+   its probe, the roof is LIFTED to that kernel's rate (and the source
+   recorded): a roof is "the best rate observed on this chip", so no kernel
+   can exceed 100% by construction, and every kernel's headroom is stated
+   against the best evidence available.  A kernel at 100% *defines* the
+   empirical roof.
+4. Each kernel is scored on its BINDING resource:
+   sol = max(mul_rate/mul_roof, alu_rate/alu_roof[, bytes/hbm_roof]).
 
 Reference analog: the kernel-only benchmark tier + the "% of peak" analysis
 the reference's docs call for (docs/mobile_gpu_zk_survey.md device-adaptive
 policy discussion); here the roof is measured, not quoted from a datasheet,
 so the report is valid on any chip this runs on.
-
-Static op counts (per element / per permutation) are derived from the
-implementations in fields/babybear.py, hash/keccak.py, hash/poseidon2.py —
-see the constants below for the breakdown.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
+import re
 import time
-from typing import Callable, Dict
+from typing import Callable, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -42,39 +48,70 @@ import numpy as np
 from ..fields import babybear as bb
 
 # ---------------------------------------------------------------------------
-# Static op counts (documented derivations)
+# StableHLO op auditing
 # ---------------------------------------------------------------------------
-
-# Keccak-f[1600] on (lo, hi) u32 pairs (hash/keccak.py::_round_static),
-# per batch element per round:
-#   theta C columns: 5 cols x 4 xors x 2 halves          = 40
-#   theta D: 5 x (rotl1 = 3 ops x 2 halves, + 2 xors)    = 40
-#   theta apply: 25 lanes x 2 halves                      = 50
-#   rho/pi: 24 rotations x (2 shifts + 1 or) x 2 halves   = 144
-#   chi: 25 lanes x (not, and, xor) x 2 halves            = 150
-#   iota: 2
-KECCAK_OPS_PER_ROUND = 426
-KECCAK_OPS_PER_PERM = 24 * KECCAK_OPS_PER_ROUND
-
-# Poseidon2 (hash/poseidon2.py), width-16 instance, raw montmuls (S-box
-# x^7 = 4 montmuls): 8 external rounds x 16 S-boxes + 13 internal rounds x
-# (1 S-box + 16 diag muls); MDS layers add-only.
-POSEIDON2_16_MONTMULS = 8 * 16 * 4 + 13 * (4 + 16)  # = 772
-
-# Radix-2 NTT: one twiddle montmul per butterfly, h/2 * log2(h) butterflies
-# per column.
+_MUL_OPS = {"multiply"}
+_ALU_OPS = {
+    "add", "subtract", "and", "or", "xor", "not",
+    "shift_left", "shift_right_logical", "shift_right_arithmetic",
+    "select", "compare", "maximum", "minimum",
+}
+_INT_DTYPES = {"ui64", "i64", "ui32", "i32", "ui16", "i16", "ui8", "i8", "i1"}
+_LINE_RE = re.compile(r"=\s+stablehlo\.(\w+)\b")
+_TENSOR_RE = re.compile(r"tensor<([^>]*)>")
 
 
-def _ntt_montmuls(h: int, w: int) -> int:
-    return (h // 2) * int(np.log2(h)) * w
+def audit_ops(fn: Callable, *args) -> Dict[str, int]:
+    """Count integer multiply / ALU ops in ``fn``'s StableHLO lowering,
+    weighted by result element counts.  ``while_loops`` reports loop bodies
+    counted only once (keep audited fns loop-free for exact counts)."""
+    txt = jax.jit(fn).lower(*args).as_text()
+    counts = {"mul": 0, "alu": 0}
+    for line in txt.splitlines():
+        m = _LINE_RE.search(line)
+        if not m:
+            continue
+        op = m.group(1)
+        cat = "mul" if op in _MUL_OPS else ("alu" if op in _ALU_OPS else None)
+        if cat is None:
+            continue
+        tensors = _TENSOR_RE.findall(line)
+        if not tensors:
+            continue
+        parts = tensors[-1].split("x")
+        if parts[-1] not in _INT_DTYPES:
+            continue
+        elems = 1
+        for p in parts[:-1]:
+            elems *= int(p)
+        counts[cat] += elems
+    counts["while_loops"] = txt.count("stablehlo.while")
+    return counts
+
+
+@contextlib.contextmanager
+def _forced_impl(**env):
+    """Temporarily force kernel impl knobs (audit the XLA twin of a Pallas
+    kernel)."""
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 # ---------------------------------------------------------------------------
-# Probes
+# Timing discipline
 # ---------------------------------------------------------------------------
-def _timed(chain: Callable, arg, units_per_rep: float, reps: int) -> float:
-    """Rate in units/s for a jitted chain of ``reps`` dependent steps
-    (best of 3 timed runs — tunnel latency jitters individual timings)."""
+def _timed(chain: Callable, arg, reps: int) -> float:
+    """Calls/s for a jitted chain of ``reps`` dependent steps (best of 3 —
+    tunnel latency jitters individual timings; device_get forced because the
+    tunnel's block_until_ready can return early)."""
     out = chain(arg)
     _ = jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # warm
     best = float("inf")
@@ -83,7 +120,7 @@ def _timed(chain: Callable, arg, units_per_rep: float, reps: int) -> float:
         out = chain(arg)
         _ = jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         best = min(best, time.perf_counter() - t0)
-    return units_per_rep * reps / best
+    return reps / best
 
 
 _INNER = 16  # dependent steps per loop body — amortizes per-iteration launch
@@ -97,11 +134,14 @@ _N = 1 << 23  # elements per chain: real kernels expose >=16M elements of
 # overhead and under-report the roof
 
 
-def montmul_roof(n: int = _N, reps: int = 4) -> float:
-    """BabyBear montmuls/s (the multiply-bound roof): _ILP independent
-    dependent-chains of _INNER montmuls per loop body.  The invariant operand
-    is a VECTOR (like an NTT twiddle column) — multiplying by a scalar
-    constant lets XLA fold its limb extracts and over-reports the roof."""
+# ---------------------------------------------------------------------------
+# Probes (roof candidates)
+# ---------------------------------------------------------------------------
+def mul_roof(n: int = _N, reps: int = 4) -> Dict:
+    """Raw integer-multiply ops/s from a BabyBear montmul dependent chain
+    (_ILP independent chains of _INNER montmuls per loop body).  The
+    invariant operand is a VECTOR (like an NTT twiddle column) — multiplying
+    by a scalar constant lets XLA fold its limb extracts and over-report."""
 
     @jax.jit
     def chain(args):
@@ -117,12 +157,24 @@ def montmul_roof(n: int = _N, reps: int = 4) -> float:
     base = bb.np_to_monty(np.arange(1, n + 1, dtype=np.uint32) % np.uint32(bb.P))
     xs = tuple(jnp.asarray(base) + np.uint32(i) for i in range(_ILP))
     tw = jnp.asarray(base[::-1].copy())
-    return _timed(chain, (xs, tw), float(n) * _INNER * _ILP, reps)
+    per_step = audit_ops(lambda a, t: bb.mul(a, t), xs[0], tw)
+    calls_s = _timed(chain, (xs, tw), reps)
+    return {
+        "mul": calls_s * _INNER * _ILP * per_step["mul"],
+        "alu": calls_s * _INNER * _ILP * per_step["alu"],
+        "montmuls_per_mul_op": _INNER * _ILP * n / (_INNER * _ILP * per_step["mul"]),
+        "ops_per_montmul": {k: per_step[k] / n for k in ("mul", "alu")},
+    }
 
 
-def bitop_roof(n: int = _N, reps: int = 4) -> float:
-    """u32 bit-ops/s (xor/shift/or/and mix, 9 ops per inner step — the Keccak
-    primitive mix), _ILP interleaved chains."""
+def alu_roof(n: int = _N, reps: int = 4) -> Dict:
+    """Raw integer ALU ops/s from a Keccak-mix dependent chain
+    (rotations + xor + andnot), _ILP interleaved chains."""
+
+    def step(v):
+        r = (v << np.uint32(13)) | (v >> np.uint32(19))
+        s = (v << np.uint32(7)) | (v >> np.uint32(25))
+        return v ^ (~r & s)
 
     @jax.jit
     def chain(x):
@@ -130,16 +182,19 @@ def bitop_roof(n: int = _N, reps: int = 4) -> float:
             out = []
             for v in vs:
                 for _k in range(_INNER):
-                    r = (v << np.uint32(13)) | (v >> np.uint32(19))  # 3 ops
-                    s = (v << np.uint32(7)) | (v >> np.uint32(25))  # 3 ops
-                    v = v ^ (~r & s)  # 3 ops
+                    v = step(v)
                 out.append(v)
             return tuple(out)
 
         return jax.lax.fori_loop(0, reps, body, x)
 
     xs = tuple(jnp.arange(1 + i, n + 1 + i, dtype=jnp.uint32) for i in range(_ILP))
-    return _timed(chain, xs, 9.0 * n * _INNER * _ILP, reps)
+    per_step = audit_ops(step, xs[0])
+    calls_s = _timed(chain, xs, reps)
+    return {
+        "mul": calls_s * _INNER * _ILP * per_step["mul"],
+        "alu": calls_s * _INNER * _ILP * per_step["alu"],
+    }
 
 
 def hbm_roof(n: int = 1 << 27, reps: int = 64) -> float:
@@ -151,11 +206,12 @@ def hbm_roof(n: int = 1 << 27, reps: int = 64) -> float:
         return jax.lax.fori_loop(0, reps, lambda _, v: v + np.uint32(1), x)
 
     x = jnp.arange(n, dtype=jnp.uint32)
-    return _timed(chain, x, 8.0 * n, reps)
+    return 8.0 * n * _timed(chain, x, reps)
 
 
 # ---------------------------------------------------------------------------
-# Kernel measurements
+# Kernel measurements: each returns
+#   {kernel, ops: {mul, alu}, rate: calls/s, extra info}
 # ---------------------------------------------------------------------------
 def _measure_ntt(h: int, w: int, reps: int = 8) -> Dict:
     from ..ntt import radix2
@@ -168,13 +224,13 @@ def _measure_ntt(h: int, w: int, reps: int = 8) -> Dict:
         # dependent chain: NTT output feeds the next NTT (same shape)
         return jax.lax.fori_loop(0, reps, lambda _, v: radix2.dft_batch(v), m)
 
-    rate = _timed(chain, mat, float(h * w), reps)  # elems/s
+    ops = audit_ops(radix2.dft_batch, mat)
+    calls_s = _timed(chain, mat, reps)
     return {
         "kernel": f"ntt_radix2_{h}x{w}",
-        "achieved": rate * _ntt_montmuls(h, w) / (h * w),
-        "unit": "montmul/s",
-        "roof_key": "montmul",
-        "melems_s": rate / 1e6,
+        "ops": ops,
+        "rate": calls_s,
+        "melems_s": calls_s * h * w / 1e6,
     }
 
 
@@ -184,6 +240,9 @@ def _measure_keccak(n: int = 1 << 20, reps: int = 32) -> Dict:
     rng = np.random.default_rng(0)
     mat = jnp.asarray(rng.integers(0, 1 << 31, size=(n, 6), dtype=np.uint32))
 
+    def hash_fn(m):
+        return sponge.hash_field_rows_batched(m)
+
     @jax.jit
     def chain(m):
         def body(_, mm):
@@ -192,13 +251,14 @@ def _measure_keccak(n: int = 1 << 20, reps: int = 32) -> Dict:
 
         return jax.lax.fori_loop(0, reps, body, m)
 
-    rate = _timed(chain, mat, float(n), reps)  # perms/s (1 perm per 6-col row)
+    with _forced_impl(TPU_STARK_KECCAK_IMPL="xla"):
+        ops = audit_ops(hash_fn, mat)
+    calls_s = _timed(chain, mat, reps)
     return {
         "kernel": f"keccak_leaf_sponge_N{n}",
-        "achieved": rate * KECCAK_OPS_PER_PERM,
-        "unit": "u32op/s",
-        "roof_key": "bitop",
-        "mperm_s": rate / 1e6,
+        "ops": ops,
+        "rate": calls_s,
+        "mperm_s": calls_s * n / 1e6,
     }
 
 
@@ -212,19 +272,20 @@ def _measure_poseidon2(n: int = 1 << 20, reps: int = 32) -> Dict:
     def chain(s):
         return jax.lax.fori_loop(0, reps, lambda _, v: poseidon2.permute_batched(v), s)
 
-    rate = _timed(chain, st, float(n), reps)
+    ops = audit_ops(poseidon2.permute_batched, st)
+    calls_s = _timed(chain, st, reps)
     return {
         "kernel": f"poseidon2_16_N{n}",
-        "achieved": rate * POSEIDON2_16_MONTMULS,
-        "unit": "montmul/s",
-        "roof_key": "montmul",
-        "mperm_s": rate / 1e6,
+        "ops": ops,
+        "rate": calls_s,
+        "mperm_s": calls_s * n / 1e6,
     }
 
 
 def _measure_poseidon2_sponge(n: int = 1 << 20, reps: int = 32) -> Dict:
     """The Merkle leaf-hash entry point (Pallas kernel on TPU, XLA on CPU) —
-    one rate-8 absorb + permutation per 6-column row."""
+    one rate-8 absorb + permutation per 6-column row.  Audited via the XLA
+    twin; measured on whatever impl the policy dispatches."""
     from ..commit import poseidon2_mmcs
 
     rng = np.random.default_rng(0)
@@ -237,13 +298,87 @@ def _measure_poseidon2_sponge(n: int = 1 << 20, reps: int = 32) -> Dict:
 
         return jax.lax.fori_loop(0, reps, body, m)
 
-    rate = _timed(chain, mat, float(n), reps)
+    with _forced_impl(TPU_STARK_POSEIDON2_IMPL="xla"):
+        ops = audit_ops(poseidon2_mmcs.hash_rows_batched, mat)
+    calls_s = _timed(chain, mat, reps)
     return {
         "kernel": f"poseidon2_leaf_sponge_N{n}",
-        "achieved": rate * POSEIDON2_16_MONTMULS,
-        "unit": "montmul/s",
-        "roof_key": "montmul",
-        "mperm_s": rate / 1e6,
+        "ops": ops,
+        "rate": calls_s,
+        "mperm_s": calls_s * n / 1e6,
+    }
+
+
+def _measure_quotient(log_n: int = 18, reps: int = 8) -> Dict:
+    """The AIR quotient-eval kernel (prove.py::_quotient_fn) on the fib AIR
+    at quotient-domain size 2^(log_n+1) — selectors, constraint eval, alpha
+    folding, zeroifier division in one jitted program."""
+    from ..air.fibonacci import FibonacciAir
+    from ..prover.prove import _quotient_fn, _register_air, get_symbolic_info
+
+    air = FibonacciAir()
+    key = _register_air(air)
+    log_m = log_n + 1
+    qfn = _quotient_fn(key, log_n, log_m, 3)
+    h = 1 << log_m
+    rng = np.random.default_rng(0)
+    trace_on_q = jnp.asarray(
+        bb.np_to_monty(rng.integers(0, bb.P, size=(h, 2), dtype=np.uint32))
+    )
+    pis = jnp.asarray(bb.np_to_monty(np.array([0, 1, 21], dtype=np.uint32)))
+    nc, _ = get_symbolic_info(air, 3)
+    apows = jnp.asarray(
+        bb.np_to_monty(rng.integers(0, bb.P, size=(nc, 4), dtype=np.uint32))
+    )
+
+    @jax.jit
+    def chain(t):
+        def body(_, v):
+            q = qfn(v, pis, apows)  # (h, 4) ext
+            return bb.add(v, q[:, :2])  # mix back: dependent chain
+
+        return jax.lax.fori_loop(0, reps, body, t)
+
+    ops = audit_ops(lambda t: qfn(t, pis, apows), trace_on_q)
+    calls_s = _timed(chain, trace_on_q, reps)
+    return {
+        "kernel": f"quotient_fib_2^{log_m}",
+        "ops": ops,
+        "rate": calls_s,
+        "melems_s": calls_s * h / 1e6,
+    }
+
+
+def _measure_fri_fold(log_h: int = 22, reps: int = 16) -> Dict:
+    """One arity-2 FRI fold level (pcs.py::_fold_pairs) at 2^log_h ext rows."""
+    from ..commit.pcs import _fold_pairs
+    from ..fields import extension as ext4
+
+    h = 1 << log_h
+    rng = np.random.default_rng(0)
+    cw = jnp.asarray(
+        bb.np_to_monty(rng.integers(0, bb.P, size=(h, 4), dtype=np.uint32))
+    )
+    beta = ext4.scalar((3, 1, 4, 1))
+
+    def fold(v):
+        return _fold_pairs(v.reshape(h // 2, 2, 4), beta, log_h)
+
+    @jax.jit
+    def chain(v):
+        def body(_, vv):
+            folded = fold(vv)  # (h/2, 4)
+            return jnp.concatenate([folded, folded], axis=0)  # keep shape
+
+        return jax.lax.fori_loop(0, reps, body, v)
+
+    ops = audit_ops(fold, cw)
+    calls_s = _timed(chain, cw, reps)
+    return {
+        "kernel": f"fri_fold_2^{log_h}",
+        "ops": ops,
+        "rate": calls_s,
+        "melems_s": calls_s * h / 1e6,
     }
 
 
@@ -259,29 +394,39 @@ def _measure_bitrev(h: int = 1 << 22, w: int = 8, reps: int = 16) -> Dict:
             0, reps, lambda _, v: reverse_matrix_index_bits(v) + np.uint32(1), m
         )
 
-    rate = _timed(chain, mat, 8.0 * h * w, reps)  # bytes/s (read + write)
+    calls_s = _timed(chain, mat, reps)
     return {
         "kernel": f"bit_reversal_{h}x{w}",
-        "achieved": rate,
-        "unit": "B/s",
-        "roof_key": "hbm",
+        "ops": {"mul": 0, "alu": 0},
+        "rate": calls_s,
+        "bytes_per_call": 8.0 * h * w,  # read + write
     }
 
 
+# ---------------------------------------------------------------------------
+# Report
+# ---------------------------------------------------------------------------
 def run(small: bool = False) -> Dict:
-    """Measure roofs + kernels; returns the full report dict (also printed)."""
+    """Measure roofs + kernels, lift roofs by observed kernel rates, score
+    each kernel on its binding resource; returns the report dict (printed)."""
     kw = {"n": 1 << 12, "reps": 4} if small else {}
+    mroof = mul_roof(**kw)
+    aroof = alu_roof(**kw)
     roofs = {
-        "montmul": montmul_roof(**kw),
-        "bitop": bitop_roof(**kw),
+        "mul": mroof["mul"],
+        "alu": aroof["alu"],
         "hbm": hbm_roof(**({"n": 1 << 14, "reps": 4} if small else {})),
     }
+    roof_sources = {"mul": "probe:montmul_chain", "alu": "probe:keccak_mix_chain",
+                    "hbm": "probe:stream"}
     if small:
         kernels = [
             _measure_ntt(256, 8, reps=2),
             _measure_keccak(n=256, reps=2),
             _measure_poseidon2(n=256, reps=2),
             _measure_poseidon2_sponge(n=256, reps=2),
+            _measure_quotient(log_n=6, reps=2),
+            _measure_fri_fold(log_h=8, reps=2),
             _measure_bitrev(h=1 << 10, w=8, reps=2),
         ]
     else:
@@ -292,21 +437,53 @@ def run(small: bool = False) -> Dict:
             _measure_keccak(),
             _measure_poseidon2(),
             _measure_poseidon2_sponge(),
+            _measure_quotient(),
+            _measure_fri_fold(),
             _measure_bitrev(),
         ]
+    # achieved raw-op rates
     for k in kernels:
-        k["sol_pct"] = 100.0 * k["achieved"] / roofs[k["roof_key"]]
-    report = {"roofs": roofs, "kernels": kernels}
-    print(f"device roofs: montmul {roofs['montmul']/1e9:.2f} G/s, "
-          f"bitop {roofs['bitop']/1e9:.2f} G/s, hbm {roofs['hbm']/1e9:.1f} GB/s")
+        k["achieved"] = {
+            "mul": k["rate"] * k["ops"]["mul"],
+            "alu": k["rate"] * k["ops"]["alu"],
+        }
+        if "bytes_per_call" in k:
+            k["achieved"]["hbm"] = k["rate"] * k["bytes_per_call"]
+    # roof lifting: a kernel beating the probe becomes the roof (see module
+    # docstring #3) — guarantees sol <= 100% and records the evidence
+    for res in ("mul", "alu", "hbm"):
+        for k in kernels:
+            ach = k["achieved"].get(res, 0.0)
+            if ach > roofs[res]:
+                roofs[res] = ach
+                roof_sources[res] = f"kernel:{k['kernel']}"
+    for k in kernels:
+        utils = {
+            res: 100.0 * k["achieved"].get(res, 0.0) / roofs[res]
+            for res in ("mul", "alu", "hbm")
+            if k["achieved"].get(res, 0.0) > 0
+        }
+        k["binding"] = max(utils, key=utils.get) if utils else "mul"
+        k["sol_pct"] = utils.get(k["binding"], 0.0)
+        k["utils"] = utils
+
+    report = {"roofs": roofs, "roof_sources": roof_sources, "kernels": kernels}
+    print(
+        f"device roofs: mul {roofs['mul']/1e9:.2f} Gop/s ({roof_sources['mul']}), "
+        f"alu {roofs['alu']/1e9:.2f} Gop/s ({roof_sources['alu']}), "
+        f"hbm {roofs['hbm']/1e9:.1f} GB/s ({roof_sources['hbm']})"
+    )
     for k in kernels:
         extra = "".join(
             f"  {key.split('_')[0]}={k[key]:.1f}"
             for key in ("melems_s", "mperm_s")
             if key in k
         )
-        print(f"{k['kernel']:28s} {k['achieved']/1e9:10.2f} G{k['unit'][:-2]}/s "
-              f"vs {k['roof_key']:7s} roof -> {k['sol_pct']:5.1f}% SoL{extra}")
+        wl = " (while: audit undercounts)" if k["ops"].get("while_loops") else ""
+        print(
+            f"{k['kernel']:28s} {k['sol_pct']:5.1f}% SoL (binding {k['binding']}"
+            f"){extra}{wl}"
+        )
     return report
 
 
@@ -316,5 +493,9 @@ if __name__ == "__main__":
     rep = run(small="--small" in sys.argv)
     print(json.dumps({"sol_report": {
         "roofs": rep["roofs"],
-        "kernels": [{kk: vv for kk, vv in k.items()} for k in rep["kernels"]],
+        "roof_sources": rep["roof_sources"],
+        "kernels": [
+            {kk: vv for kk, vv in k.items() if kk != "achieved"}
+            for k in rep["kernels"]
+        ],
     }}))
