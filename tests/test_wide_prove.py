@@ -70,6 +70,7 @@ def test_streamed_absorb_matches_batched_hash():
     assert np.array_equal(np.asarray(want), np.asarray(got))
 
 
+@pytest.mark.slow  # interpret-mode Pallas: minutes on CPU (see test_pallas_*)
 def test_pallas_absorb_carry_state_matches_batched_hash():
     """Interpret-mode check of the carry-state VMEM absorb kernel: chunked
     absorb_rows_transposed == one-shot hash_rows_batched."""
@@ -162,3 +163,148 @@ def test_wide_prove_tampered_trace_rejected():
 
     proof = prove_wide(cfg(), air, trace, [])
     assert not verify(cfg(), air, proof, [])
+
+
+def test_keccak_row_stream_matches_batched_hash():
+    """Carry-state Keccak absorb over ragged/odd column chunks (rate blocks
+    and u32 pairs straddling boundaries) == one-shot row hash."""
+    import jax.numpy as jnp
+
+    from tpu_stark.hash.sponge import KeccakRowStream, hash_field_rows_batched
+
+    rng = np.random.default_rng(9)
+    n, k = 16, 81  # 81 u32s: 41 u64 items = 2 full rate blocks + 7 carry
+    mat = jnp.asarray(rng.integers(0, bb.P, size=(n, k), dtype=np.uint32))
+    want = np.asarray(hash_field_rows_batched(mat, impl="xla"))
+    stream = KeccakRowStream(n)
+    for off, wc in ((0, 7), (7, 30), (37, 34), (71, 10)):  # odd widths too
+        stream.absorb_cols(mat[:, off : off + wc])
+    got = np.asarray(stream.finalize())
+    assert np.array_equal(want, got)
+
+
+def test_p2_row_stream_matches_batched_hash():
+    import jax.numpy as jnp
+
+    from tpu_stark.prover.wide import P2RowStream
+
+    rng = np.random.default_rng(10)
+    n, k = 16, 45  # non-multiple-of-8 chunks straddle rate blocks
+    mat = jnp.asarray(
+        bb.np_to_monty(rng.integers(0, bb.P, size=(n, k), dtype=np.uint32))
+    )
+    want = np.asarray(hash_rows_batched(mat))
+    stream = P2RowStream(n)
+    for off, wc in ((0, 5), (5, 18), (23, 22)):
+        stream.absorb_cols(mat[:, off : off + wc])
+    got = np.asarray(stream.finalize())
+    assert np.array_equal(want, got)
+
+
+def _keccak_pcs(hiding=False):
+    from tpu_stark.commit.merkle import MerkleTreeMmcs
+    from tpu_stark.commit.pcs import TwoAdicFriPcs
+    from tpu_stark.compat.device_rng import DeviceRng
+    from tpu_stark.fri.config import create_test_fri_params
+    from tpu_stark.ntt.dft import Dft
+
+    mmcs = MerkleTreeMmcs(hiding=hiding, rng=DeviceRng(1, "salts"))
+    return TwoAdicFriPcs(
+        Dft(backend="cpu"), create_test_fri_params(2), mmcs, None
+    )
+
+
+@pytest.mark.parametrize("hiding", [False, True])
+def test_streamed_keccak_commit_root_matches_dense(hiding):
+    """The reference's only stack is Keccak (fib_air.rs:28-51): the streamed
+    commit must reproduce the dense hiding/plain Keccak root exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    trace = rng.integers(0, 2, size=(64, 40), dtype=np.uint32)
+    pcs = _keccak_pcs(hiding)
+    domain = pcs.natural_domain_for_degree(64)
+    dense_root, _ = pcs.commit([(domain, jnp.asarray(bb.np_to_monty(trace)))])
+    pcs2 = _keccak_pcs(hiding)  # fresh salt rng stream
+    src = WideMatrixSource(
+        trace.astype(np.uint8), pcs2.dft, pcs2.fri.log_blowup, domain,
+        col_chunk=16,
+    )
+    wide_root, data = commit_wide(pcs2, domain, src)
+    assert tuple(dense_root) == tuple(wide_root)
+    if hiding:
+        assert hasattr(data.merkle.salts[0], "materialize")  # lazy lever
+
+
+def test_streamed_zk_commit_root_matches_dense_single_chunk():
+    """zk: single-chunk wide source draws the SAME randomizer as the dense
+    prover (fold_in(key,0), full width) — identical T' commitment."""
+    import jax.numpy as jnp
+
+    from tpu_stark.compat.device_rng import make_zk_rng
+
+    rng = np.random.default_rng(4)
+    n, w = 32, 24
+    trace = rng.integers(0, 2, size=(n, w), dtype=np.uint32)
+    pcs = _keccak_pcs(hiding=True)
+    trace_domain = pcs.natural_domain_for_degree(n)
+    # dense construction (prove.py): coeffs2 = [idft(T) - r ; r]
+    trace_dev = jnp.asarray(bb.np_to_monty(trace))
+    r = jnp.asarray(make_zk_rng("device", 1, "trace").sample_babybear_matrix_monty(n, w))
+    coeffs = pcs.dft.idft_batch(trace_dev)
+    coeffs2 = jnp.concatenate([bb.sub(coeffs, r), r], axis=0)
+    committed_domain = pcs.natural_domain_for_degree(2 * n)
+    dense_root, _ = pcs.commit([(committed_domain, pcs.dft.dft_batch(coeffs2))])
+
+    pcs2 = _keccak_pcs(hiding=True)
+    src = WideMatrixSource(
+        trace.astype(np.uint8), pcs2.dft, pcs2.fri.log_blowup, trace_domain,
+        col_chunk=24, zk_seed=1,
+    )
+    assert src.n_committed == 2 * n
+    wide_root, _ = commit_wide(pcs2, committed_domain, src)
+    assert tuple(dense_root) == tuple(wide_root)
+
+
+@pytest.mark.slow
+def test_wide_zk_prove_verifies():
+    """End-to-end zk streamed prove (Poseidon2 stack, keccak-air columns)."""
+    from tpu_stark.prover.prove import prove
+    from tpu_stark.prover.proof import serialize_proof
+
+    air = KeccakAir()
+    trace = generate_trace(num_perms=2, seed=7)
+
+    def cfg():
+        return create_config(zk=True, backend="cpu", hash="poseidon2")
+
+    import os
+
+    os.environ["TPU_STARK_WIDE_CHUNK"] = "4096"  # single chunk: match dense
+    try:
+        p_wide = prove_wide(cfg(), air, trace.astype(np.uint8), [])
+        assert verify(cfg(), air, p_wide, [])
+        p_dense = prove(cfg(), air, trace, [])
+        assert serialize_proof(p_dense) == serialize_proof(p_wide)
+    finally:
+        del os.environ["TPU_STARK_WIDE_CHUNK"]
+
+
+@pytest.mark.slow
+def test_wide_zk_keccak_stack_prove_verifies():
+    """zk + Keccak stack + multi-chunk streaming: verifies (wide-only
+    randomizer layout — no dense twin at multi-chunk)."""
+    air = KeccakAir()
+    trace = generate_trace(num_perms=2, seed=8).astype(np.uint8)
+
+    def cfg():
+        return create_config(zk=True, backend="cpu", hash="keccak")
+
+    import os
+
+    os.environ["TPU_STARK_WIDE_CHUNK"] = "1024"
+    try:
+        proof = prove_wide(cfg(), air, trace, [])
+        assert verify(cfg(), air, proof, [])
+    finally:
+        del os.environ["TPU_STARK_WIDE_CHUNK"]

@@ -950,13 +950,29 @@ def _combine_columns(mat_br: jnp.ndarray, apows: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def _reduced_quotient(mat_br, apows, p_z, z_dev, y_br):
-    """One matrix/point contribution to the reduced opening, fully fused:
-    (sum_col alpha^k (y_col(x) - y_col(z))) * inv(y - z) over the codeword."""
-    a_x = _combine_columns(mat_br, apows)  # (H, 4)
+    """One matrix/point contribution to the reduced opening:
+    (sum_col alpha^k (y_col(x) - y_col(z))) * inv(y - z) over the codeword.
+    Row-blocked end to end (lax.map): at 2^26 LDE rows the unblocked ext
+    chain (column combine, subtract, batch inversion, multiply) peaked
+    21 GB of fused HLO temps — a compile-time OOM on a 16 GB chip (observed
+    at the 2^24 zk north-star prove); blocking bounds temps to one
+    (_ROW_BLOCK, 4) slice."""
+    h, w = mat_br.shape
     b = bb.sum_mod(ext4.mul(apows, p_z), axis=0)  # (4,)
-    diff = ext4.sub(a_x, b[None, :])
-    y_minus_z = ext4.sub(ext4.from_base(y_br), z_dev[None, :])
-    return ext4.mul(diff, ext4.inv(y_minus_z))
+    blk = min(h, _ROW_BLOCK)
+    nb = h // blk
+
+    def rowblk(args):
+        m, y = args  # (blk, w), (blk,)
+        a_x = _combine_columns(m, apows)  # (blk, 4)
+        diff = ext4.sub(a_x, b[None, :])
+        y_minus_z = ext4.sub(ext4.from_base(y), z_dev[None, :])
+        return ext4.mul(diff, ext4.inv(y_minus_z))
+
+    out = jax.lax.map(
+        rowblk, (mat_br.reshape(nb, blk, w), y_br.reshape(nb, blk))
+    )
+    return out.reshape(h, 4)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

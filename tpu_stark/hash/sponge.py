@@ -96,16 +96,18 @@ def _zeros_state(batch_shape) -> List[LanePair]:
 _SCAN_MIN_CHUNKS = 4
 
 
-def sponge_hash_u64s_batched(items: Sequence[LanePair]) -> List[LanePair]:
-    """Batched PaddingFreeSponge: `items` is a sequence of (lo, hi) uint32
-    array pairs (one u64 item each, shared batch shape). Returns 4 lane pairs."""
-    assert items, "empty sponge input"
+def _absorb_full_blocks(
+    state: List[LanePair], items: Sequence[LanePair]
+) -> List[LanePair]:
+    """Absorb whole rate-RATE blocks (len(items) % RATE == 0) into an
+    existing sponge state: overwrite the first RATE lanes, permute, repeat.
+    Scans when there are many blocks (one permutation body in the graph)."""
     import jax
 
-    batch_shape = items[0][0].shape
-    state = _zeros_state(batch_shape)
     items = list(items)
+    assert len(items) % RATE == 0
     n_full = len(items) // RATE
+    batch_shape = items[0][0].shape if items else None
     if n_full >= _SCAN_MIN_CHUNKS:
         lo_stack = jnp.stack(
             [items[k][0] for k in range(n_full * RATE)]
@@ -131,14 +133,85 @@ def sponge_hash_u64s_batched(items: Sequence[LanePair]) -> List[LanePair]:
             tuple(p[1] for p in state),
         )
         (lo_t, hi_t), _ = jax.lax.scan(body, init, (lo_stack, hi_stack))
-        state = [(lo_t[i], hi_t[i]) for i in range(WIDTH)]
-        items = items[n_full * RATE :]
+        return [(lo_t[i], hi_t[i]) for i in range(WIDTH)]
     for off in range(0, len(items), RATE):
         chunk = items[off : off + RATE]
+        state = list(state)
         for i, v in enumerate(chunk):
             state[i] = v
         state = keccak.keccak_f_batched(state)
+    return state
+
+
+def sponge_hash_u64s_batched(items: Sequence[LanePair]) -> List[LanePair]:
+    """Batched PaddingFreeSponge: `items` is a sequence of (lo, hi) uint32
+    array pairs (one u64 item each, shared batch shape). Returns 4 lane pairs."""
+    assert items, "empty sponge input"
+    batch_shape = items[0][0].shape
+    state = _zeros_state(batch_shape)
+    items = list(items)
+    n_full = len(items) // RATE
+    state = _absorb_full_blocks(state, items[: n_full * RATE])
+    items = items[n_full * RATE :]
+    if items:
+        state = list(state)
+        for i, v in enumerate(items):
+            state[i] = v
+        state = keccak.keccak_f_batched(state)
     return state[:OUT]
+
+
+class KeccakRowStream:
+    """Incremental SerializingHasher(PaddingFreeSponge) over COLUMN chunks of
+    a row batch — the carry-state absorb that lets the streaming wide prover
+    (prover/wide.py) commit with the Keccak stack even though 17-u64 rate
+    blocks straddle column-chunk boundaries: the partial block (and a split
+    u32 pair when a chunk width is odd) ride the carried state between
+    chunks.  ``finalize`` permutes the final partial block exactly like
+    ``sponge_hash_u64s_batched`` — digests are bit-identical to hashing the
+    whole rows at once (tested, tests/test_wide_prove.py)."""
+
+    def __init__(self, n_rows: int):
+        self._state = _zeros_state((n_rows,))
+        self._pend: List[LanePair] = []  # < RATE carried u64 items
+        self._half: Optional[jnp.ndarray] = None  # odd split of a u32 pair
+        self._n = n_rows
+
+    def absorb_cols(self, mat_u32: jnp.ndarray) -> None:
+        n, k = int(mat_u32.shape[0]), int(mat_u32.shape[1])
+        assert n == self._n
+        if self._half is not None:
+            mat_u32 = jnp.concatenate([self._half, mat_u32], axis=1)
+            k += 1
+            self._half = None
+        if k % 2:
+            self._half = mat_u32[:, -1:]
+            mat_u32 = mat_u32[:, :-1]
+            k -= 1
+        if k:
+            self._pend.extend(pack_matrix_rows_to_u64s(mat_u32))
+        n_full = len(self._pend) // RATE
+        if n_full:
+            self._state = _absorb_full_blocks(
+                self._state, self._pend[: n_full * RATE]
+            )
+            self._pend = self._pend[n_full * RATE :]
+
+    def finalize(self) -> jnp.ndarray:
+        """(N, 4, 2) digests."""
+        if self._half is not None:
+            self._pend.append(
+                (self._half[:, 0], jnp.zeros((self._n,), dtype=jnp.uint32))
+            )
+            self._half = None
+        if self._pend:
+            state = list(self._state)
+            for i, v in enumerate(self._pend):
+                state[i] = v
+            self._state = keccak.keccak_f_batched(state)
+            self._pend = []
+        out = self._state[:OUT]
+        return jnp.stack([jnp.stack([lo, hi], axis=-1) for lo, hi in out], axis=-2)
 
 
 def pack_matrix_rows_to_u64s(mat_u32: jnp.ndarray) -> List[LanePair]:

@@ -10,10 +10,16 @@ this module is that streaming subsystem, built TPU-first:
 * the trace lives on device as **uint8 bits** (keccak-air columns are bits:
   0.9 GB at 2^20 x 3608 instead of 15 GB);
 * the committed LDE is never materialized: column chunks stream through
-  iNTT -> coset NTT -> bit-reversal -> an **incremental Poseidon2 sponge
-  absorb** carrying one running (lde_h, 16) state across chunks — the Merkle
-  leaf digests come out chunk by chunk, byte-identical to the dense
-  ``Poseidon2Mmcs.commit`` (differentially tested, tests/test_wide_prove.py);
+  iNTT -> coset NTT -> bit-reversal -> an **incremental sponge absorb**
+  carrying one running state across chunks (Poseidon2: (lde_h, 16) state or
+  the Pallas VMEM-resident absorb; Keccak: ``KeccakRowStream`` carrying the
+  partial 17-u64 rate block across chunk boundaries) — the Merkle leaf
+  digests come out chunk by chunk, byte-identical to the dense MMCS commits
+  (differentially tested, tests/test_wide_prove.py);
+* zk mode: the committed polynomial is the randomized T' = T + Z_H·R with R
+  streamed per column chunk from the counter-based device rng, and hiding
+  leaf salts absorbed after the row values (lazy descriptors retained — the
+  lowmem lever);
 * the quotient is evaluated **per AIR column-partition per quotient sub-coset**
   (air.keccak_air.Partition): each partition low-degree-extends only the
   handful of columns its constraints read, evaluates, and alpha-folds into a
@@ -76,7 +82,16 @@ class WideMatrixSource:
 
     Quacks enough like a committed device matrix for the PCS plumbing:
     ``.shape`` is the LDE shape and ``src[rows]`` gathers full LDE rows (the
-    query-opening path in ``Poseidon2Mmcs.open_batch_many_lazy``)."""
+    query-opening path in ``Poseidon2Mmcs.open_batch_many_lazy``).
+
+    zk mode (``zk_seed`` given): the committed polynomial is the randomized
+    T'(x) = T(x) + Z_H(x)·R(x) of degree < 2n (prove.py's construction),
+    with R drawn counter-based PER COLUMN CHUNK from the device rng
+    (fold_in(key("trace"), chunk_index)) so any pass over any column subset
+    regenerates the same values without materializing the (n, w) randomizer.
+    With a single chunk this reproduces the dense prover's draw exactly
+    (byte-identical proofs, tests/test_wide_prove.py); with many chunks the
+    stream is split per chunk — same distribution, wide-only layout."""
 
     def __init__(
         self,
@@ -85,17 +100,25 @@ class WideMatrixSource:
         log_blowup: int,
         domain: TwoAdicCoset,
         col_chunk: Optional[int] = None,
+        zk_seed: Optional[int] = None,
     ):
         self.n, self.w = (int(trace_np.shape[0]), int(trace_np.shape[1]))
         assert self.n == domain.size
         self.log_n = domain.log_n
         self.log_blowup = log_blowup
-        self.lde_h = self.n << log_blowup
+        self.zk = zk_seed is not None
+        self.n_committed = 2 * self.n if self.zk else self.n
+        self.lde_h = self.n_committed << log_blowup
         self.dft = dft
         self.domain = domain
-        self.col_chunk = col_chunk or _wide_chunk_for(self.n << log_blowup)
+        self.col_chunk = col_chunk or _wide_chunk_for(self.lde_h)
         assert self.col_chunk % poseidon2_mmcs.RATE == 0
         self.trace_dev = jax.device_put(trace_np)
+        if self.zk:
+            assert domain.shift == 1, "zk wide commits on the natural domain"
+            from ..compat.device_rng import DeviceRng
+
+            self._zk_key = DeviceRng(zk_seed, "trace")._key
         # relabeling scale onto the plain frame (same as pcs.commit)
         self._sigma = (bb.GENERATOR * rf.finv(domain.shift)) % bb.P
 
@@ -113,15 +136,57 @@ class WideMatrixSource:
         raw = self.trace_dev[:, jnp.asarray(np.asarray(cols))]
         return bb.from_u32(raw.astype(bb.u32))
 
+    def _rand_chunk(self, chunk_idx: int, wc: int) -> jnp.ndarray:
+        """(n, wc) Monty randomizer columns of chunk ``chunk_idx``."""
+        from ..compat.device_rng import _sample_monty
+
+        key = jax.random.fold_in(self._zk_key, chunk_idx)
+        return _sample_monty(key, self.n, wc)
+
+    def _rand_cols(self, cols: np.ndarray) -> jnp.ndarray:
+        """(n, k) randomizer values of sorted-unique global columns —
+        regenerated from the per-chunk counter-based stream."""
+        cols = np.asarray(cols)
+        assert np.all(np.diff(cols) > 0), "cols must be sorted unique"
+        parts = []
+        for c in sorted({int(j) // self.col_chunk for j in cols}):
+            off = c * self.col_chunk
+            wc = min(self.col_chunk, self.w - off)
+            local = np.array(
+                [int(j) - off for j in cols if off <= int(j) < off + wc],
+                dtype=np.int32,
+            )
+            parts.append(self._rand_chunk(c, wc)[:, jnp.asarray(local)])
+        return jnp.concatenate(parts, axis=1)
+
+    def _randomize(self, q: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+        """Trace coeffs (n, k) -> committed T' coeffs (2n, k):
+        [q - r ; r] (T + Z_H·R with Z_H = x^n - 1)."""
+        return jnp.concatenate([bb.sub(q, r), r], axis=0)
+
     def coeff_chunk(self, off: int, wc: int) -> jnp.ndarray:
-        """(n, wc) plain-frame coefficients (the dense path's r_small)."""
+        """(n_committed, wc) plain-frame coefficients (the dense path's
+        r_small)."""
         q = self.dft.idft_batch(self.monty_cols(np.arange(off, off + wc)))
-        return bb.mul(q, bb.powers_monty(self._sigma, self.n)[:, None])
+        if self.zk:
+            q = self._randomize(q, self._rand_chunk(off // self.col_chunk, wc))
+        return bb.mul(q, bb.powers_monty(self._sigma, self.n_committed)[:, None])
+
+    def quotient_coeffs_cols(self, cols: np.ndarray) -> jnp.ndarray:
+        """(n_committed, k) TRACE-FRAME committed coefficients of arbitrary
+        columns (no plain-frame relabel) — the streamed quotient evaluates
+        T' on the quotient sub-cosets from these."""
+        q = self.dft.idft_batch(self.monty_cols(cols))
+        if self.zk:
+            q = self._randomize(q, self._rand_cols(cols))
+        return q
 
     def lde_br_chunk(self, off: int, wc: int) -> jnp.ndarray:
         """(lde_h, wc) bit-reversed committed-codeword columns."""
         r_small = self.coeff_chunk(off, wc)
-        r_pad = jnp.zeros((self.lde_h, wc), dtype=bb.u32).at[: self.n].set(r_small)
+        r_pad = jnp.zeros((self.lde_h, wc), dtype=bb.u32).at[
+            : self.n_committed
+        ].set(r_small)
         return reverse_matrix_index_bits(self.dft.dft_batch(r_pad))
 
     # -- PCS hooks -------------------------------------------------------------
@@ -135,7 +200,7 @@ class WideMatrixSource:
     def eval_at_point(self, z_y) -> jnp.ndarray:
         """(w, 4) Monty device: every column's polynomial at the plain-frame
         point (the dense path's ``_eval_at_point`` over streamed coeffs)."""
-        zpow = ext4.powers_device(z_y, self.n)
+        zpow = ext4.powers_device(z_y, self.n_committed)
         parts = [
             _eval_at_point(self.coeff_chunk(off, wc), zpow)
             for off, wc in self.chunks()
@@ -193,27 +258,118 @@ def _absorb_chunk(state: jnp.ndarray, chunk: jnp.ndarray) -> jnp.ndarray:
     return state
 
 
+def _wide_salts(mmcs, lde_h: int):
+    """Hiding salts for the streamed commit: draw from the MMCS's persistent
+    rng exactly like ``mmcs.commit`` would.  Counter-based rngs keep only the
+    lazy descriptor (the 2^24 lowmem lever); host streams materialize."""
+    if not mmcs.hiding:
+        return None, None
+    rng = mmcs._rng
+    if hasattr(rng, "sample_lazy"):
+        handle = rng.sample_lazy(lde_h, mmcs.SALT_ELEMS)
+        return handle.materialize(), handle
+    s = jnp.asarray(rng.sample_babybear_matrix_monty(lde_h, mmcs.SALT_ELEMS))
+    return s, s
+
+
+class P2RowStream:
+    """Carry-state Poseidon2 sponge over column chunks (the field-native twin
+    of ``KeccakRowStream``): rate-8 blocks straddling chunk boundaries ride
+    the pending-columns buffer; ``finalize`` permutes the final partial block
+    exactly like ``poseidon2_mmcs.hash_rows_batched``."""
+
+    def __init__(self, n_rows: int):
+        self._state = jnp.zeros((n_rows, poseidon2_mmcs.WIDTH), dtype=bb.u32)
+        self._pend: Optional[jnp.ndarray] = None  # (n, < RATE) Monty cols
+        self._n = n_rows
+
+    def absorb_cols(self, mat_monty: jnp.ndarray) -> None:
+        if self._pend is not None:
+            mat_monty = jnp.concatenate([self._pend, mat_monty], axis=1)
+            self._pend = None
+        k = int(mat_monty.shape[1])
+        full = (k // poseidon2_mmcs.RATE) * poseidon2_mmcs.RATE
+        if full:
+            self._state = _absorb_chunk(self._state, mat_monty[:, :full])
+        if k > full:
+            self._pend = mat_monty[:, full:]
+
+    def finalize(self) -> jnp.ndarray:
+        """(N, OUT) Monty digests."""
+        if self._pend is not None:
+            k = int(self._pend.shape[1])
+            state = self._state.at[:, :k].set(self._pend)
+            from ..hash import poseidon2
+
+            self._state = poseidon2.permute_batched(state)
+            self._pend = None
+        return self._state[:, : poseidon2_mmcs.OUT]
+
+
 def commit_wide(
     pcs, domain: TwoAdicCoset, source: WideMatrixSource
 ) -> Tuple[tuple, PcsProverData]:
     """Streamed analog of ``pcs.commit([(domain, evals)])`` for one wide
-    matrix: identical Merkle root, no materialized LDE."""
+    matrix: identical Merkle root, no materialized LDE.  Supports both
+    commitment stacks — Poseidon2 (field-native, Pallas carry-state absorb)
+    and Keccak (the reference's only stack, ``fib_air.rs:28-51``, via the
+    ``KeccakRowStream`` carry absorb: 17-u64 rate blocks straddling column
+    chunks ride the carried partial block) — and hiding (salt columns
+    absorbed after the row values, per-leaf like the dense MMCS)."""
+    from ..commit.merkle import MerkleTreeMmcs
+    from ..commit.merkle import _compress_layer as _keccak_compress
+    from ..commit.merkle import _digest_at as _keccak_digest_at
+    from ..commit.merkle import ProverData as KeccakProverData
+    from ..hash.sponge import KeccakRowStream
+
     mmcs = pcs.val_mmcs
-    assert isinstance(mmcs, poseidon2_mmcs.Poseidon2Mmcs), (
-        "streamed commit is implemented for the Poseidon2 (field-native) "
-        "stack; the Keccak stack's u32 serialization packs 17-u64 rate blocks "
-        "that straddle column-chunk boundaries"
+    assert getattr(pcs, "zk_layout", "tpu") == "tpu" or not mmcs.hiding, (
+        "streamed commit supports the tpu hiding layout (p3 add_random_cols "
+        "would append dense random columns; use the dense prover there)"
     )
-    assert not mmcs.hiding, "wide streaming path is plain (non-zk) for now"
     timing = os.environ.get("TPU_STARK_TIMING") == "1"
     t0 = time.perf_counter()
+    salt_mat, salt_store = _wide_salts(mmcs, source.lde_h)
 
+    if isinstance(mmcs, MerkleTreeMmcs):  # Keccak stack
+        stream = KeccakRowStream(source.lde_h)
+        for off, wc in source.chunks():
+            stream.absorb_cols(bb.to_u32(source.lde_br_chunk(off, wc)))
+            # serialize chunks: an unbounded dispatch queue lets several
+            # chunks' multi-GB NTT intermediates coexist (observed OOM)
+            jax.block_until_ready(stream._state[0][0])
+        if salt_mat is not None:
+            stream.absorb_cols(bb.to_u32(salt_mat))
+        digests = stream.finalize()  # (lde_h, 4, 2)
+        del salt_mat
+        layers = [digests]
+        h = source.lde_h
+        while h > 1:
+            h >>= 1
+            digests = _keccak_compress(digests)
+            layers.append(digests)
+        root = _keccak_digest_at(layers[-1], 0)
+        data = KeccakProverData(
+            [source], None if salt_store is None else [salt_store], layers, root
+        )
+        if timing:
+            jax.block_until_ready(layers[-1])
+            print(
+                f"[wide] streamed keccak commit ({source.lde_h}x{source.w}"
+                f"{', hiding' if mmcs.hiding else ''}): "
+                f"{time.perf_counter() - t0:.3f}s",
+                flush=True,
+            )
+        return root, PcsProverData(data, [source], [domain], [source.w])
+
+    assert isinstance(mmcs, poseidon2_mmcs.Poseidon2Mmcs)
     from ..hash import pallas_poseidon2
 
     rate = poseidon2_mmcs.RATE
     use_pallas = (
         poseidon2_mmcs._poseidon2_impl() == "pallas"
         and pallas_poseidon2.supports(source.lde_h, rate)
+        and not mmcs.hiding  # hiding absorbs a 4-col salt tail: carry path
     )
     if use_pallas:
         # VMEM-resident absorb (state never round-trips HBM between rate
@@ -232,16 +388,19 @@ def commit_wide(
             state_t = pallas_poseidon2.absorb_rows_transposed(
                 state_t, mat_t, n_items=wc, first=first
             )
-            # serialize chunks: an unbounded dispatch queue lets several
-            # chunks' multi-GB NTT intermediates coexist (observed OOM)
+            # serialize chunks (see above)
             jax.block_until_ready(state_t)
             first = False
         digests = state_t[: poseidon2_mmcs.OUT].T
     else:
-        state = jnp.zeros((source.lde_h, poseidon2_mmcs.WIDTH), dtype=bb.u32)
+        stream = P2RowStream(source.lde_h)
         for off, wc in source.chunks():
-            state = _absorb_chunk(state, source.lde_br_chunk(off, wc))
-        digests = state[:, : poseidon2_mmcs.OUT]
+            stream.absorb_cols(source.lde_br_chunk(off, wc))
+            jax.block_until_ready(stream._state)
+        if salt_mat is not None:
+            stream.absorb_cols(salt_mat)
+        digests = stream.finalize()
+        del salt_mat
     layers = [digests]
     h = source.lde_h
     while h > 1:
@@ -252,11 +411,14 @@ def commit_wide(
     if timing:
         jax.block_until_ready(layers[-1])
         print(
-            f"[wide] streamed commit ({source.lde_h}x{source.w}): "
+            f"[wide] streamed commit ({source.lde_h}x{source.w}"
+            f"{', hiding' if mmcs.hiding else ''}): "
             f"{time.perf_counter() - t0:.3f}s",
             flush=True,
         )
-    data = poseidon2_mmcs.ProverData([source], None, layers, root)
+    data = poseidon2_mmcs.ProverData(
+        [source], None if salt_store is None else [salt_store], layers, root
+    )
     return root, PcsProverData(data, [source], [domain], [source.w])
 
 
@@ -390,13 +552,21 @@ def quotient_chunks_streamed(
         next_sel = jnp.asarray(
             np.array([upos[int(c)] for c in part.next_cols], dtype=np.int32)
         )
-        # one iNTT per partition; each sub-coset reuses the coefficients
-        coeffs = source.dft.idft_batch(source.monty_cols(union))
+        # one iNTT per partition; each sub-coset reuses the coefficients.
+        # zk: coeffs are the degree-<2n committed T' — evaluating on a
+        # size-n coset c·K_n folds the halves first (x^n = c^n is constant
+        # on the coset): p(x) = sum_i (c_i + c^n·c_{i+n}) x^i there.
+        coeffs = source.quotient_coeffs_cols(union)
         alpha_slice = alpha_pows_dev[offs[p_idx] : offs[p_idx + 1]]
         pfn = _partition_fn(air_key, p_idx, log_n, num_pis)
         for j, cd in enumerate(chunk_domains):
             spow = bb.powers_monty(cd.shift, n)
-            on_coset = source.dft.dft_batch(bb.mul(coeffs, spow[:, None]))
+            if source.zk:
+                c_n = bb.monty_scalar(pow(cd.shift, n, bb.P))
+                folded_c = bb.add(coeffs[:n], bb.mul(coeffs[n:], c_n))
+            else:
+                folded_c = coeffs
+            on_coset = source.dft.dft_batch(bb.mul(folded_c, spow[:, None]))
             xs = bb.mul(base_pts, bb.monty_scalar(cd.shift))
             folded, inv_z = pfn(
                 on_coset, local_sel, next_sel, xs, alpha_slice, pis_dev
@@ -425,8 +595,10 @@ def prove_wide(
     public_values: Sequence[int],
 ) -> Proof:
     """Same transcript as ``prove.prove`` (proofs verify with the unchanged
-    verifier and match dense proofs byte-for-byte where both paths fit);
-    plain (non-zk) only, Poseidon2 stack only."""
+    verifier and match dense proofs byte-for-byte where both paths fit —
+    including zk with a single column chunk); works on both commitment
+    stacks (Keccak per ``fib_air.rs:28-51``, Poseidon2 field-native) and in
+    zk mode (device-rng randomizer/salts streamed per chunk)."""
     from .prove import _register_air, get_log_quotient_degree
 
     timing = os.environ.get("TPU_STARK_TIMING") == "1"
@@ -438,7 +610,6 @@ def prove_wide(
             print(f"[prove-wide] {phase}: {now - t_last[0]:.3f}s", flush=True)
             t_last[0] = now
 
-    assert not config.zk, "wide streaming prover is plain (non-zk)"
     pcs = config.pcs
     challenger = config.challenger()
     n, width = trace.shape
@@ -446,12 +617,22 @@ def prove_wide(
     assert air.partitions() is not None, (
         "wide prover needs air.partitions() (see air.keccak_air.Partition)"
     )
+    if config.zk:
+        assert config.zk_rng == "device", (
+            "zk wide prover streams the trace randomizer from the "
+            "counter-based device rng (a host SmallRng stream would "
+            "materialize the full (n, w) randomizer)"
+        )
     log_n = log2_strict(n)
-    log_qd = get_log_quotient_degree(air, len(public_values), False)
+    log_qd = get_log_quotient_degree(air, len(public_values), config.zk)
 
     trace_domain = pcs.natural_domain_for_degree(n)
-    source = WideMatrixSource(trace, pcs.dft, pcs.fri.log_blowup, trace_domain)
-    trace_commit, trace_data = commit_wide(pcs, trace_domain, source)
+    source = WideMatrixSource(
+        trace, pcs.dft, pcs.fri.log_blowup, trace_domain,
+        zk_seed=config.rng_seed if config.zk else None,
+    )
+    committed_domain = pcs.natural_domain_for_degree(source.n_committed)
+    trace_commit, trace_data = commit_wide(pcs, committed_domain, source)
     mark("trace commit (streamed)")
 
     challenger.observe_u32(log_n)
