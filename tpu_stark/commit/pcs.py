@@ -372,6 +372,12 @@ class TwoAdicFriPcs:
                 if len(ks) == 1
                 else jnp.concatenate([items[k][1] for k in ks], axis=1)
             )
+            # release this group's input evals NOW (the caller dropped its
+            # refs): at 2^24 the four 1 GB quotient chunks otherwise stay
+            # alive under every group's multi-GB transform temps (observed
+            # runtime HBM exhaustion on a 16 GB chip)
+            for k in ks:
+                items[k] = (items[k][0], None)
             # q(y) = p(shift * y); committed codeword = q on (GEN/shift)*K,
             # relabeled to plain frame r(y) with r = q(sigma * y).  Only the
             # relabeling scale depends on the domain SHIFT, so matrices on

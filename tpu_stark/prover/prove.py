@@ -179,8 +179,10 @@ def prove(
     chunk_domains = quotient_domain.split_domains(qd)
     chunks = [quotient_vals[i::qd] for i in range(qd)]  # (n, 4) base mats
     del quotient_vals
-    quotient_commit, quotient_data = pcs.commit(list(zip(chunk_domains, chunks)))
-    del chunks
+    chunk_items = list(zip(chunk_domains, chunks))
+    del chunks  # commit releases each group's evals as it consumes them
+    quotient_commit, quotient_data = pcs.commit(chunk_items)
+    del chunk_items
     mark("quotient commit")
     challenger.observe_commitment(quotient_commit)
 
