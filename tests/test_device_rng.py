@@ -12,6 +12,7 @@ import numpy as np
 
 from tpu_stark.compat.device_rng import DeviceRng, make_zk_rng
 from tpu_stark.fields import babybear as bb
+import pytest
 
 
 def test_deterministic_across_instances():
@@ -47,6 +48,7 @@ def test_make_zk_rng_modes():
     assert type(host).__name__ == "SmallRng"
 
 
+@pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
 def test_zk_prove_verify_both_modes():
     from tpu_stark.air.fibonacci import FibonacciAir, generate_trace_rows
     from tpu_stark.prover.config import create_config

@@ -22,7 +22,16 @@ def _fib_setup(n):
     return air, trace, pis
 
 
-@pytest.mark.parametrize("zk", [False, True])
+@pytest.mark.parametrize(
+    "zk",
+    [
+        pytest.param(
+            False,
+            marks=pytest.mark.slow,  # plain variant: slow tier; zk stays default
+        ),
+        True,
+    ],
+)
 def test_sharded_prove_bit_identical_and_verifies(zk):
     n = 64
     air, trace, pis = _fib_setup(n)
@@ -41,3 +50,18 @@ def test_sharded_prove_4_devices_zk():
     mesh = make_row_mesh(4)
     proof = prove(create_config(zk=True, mesh=mesh), air, trace, pis)
     assert verify(create_config(zk=True), air, proof, pis)
+
+
+@pytest.mark.slow
+def test_sharded_prove_2p12_zk_deep_schedule():
+    """2^12-row sharded zk prove on the 8-device mesh (VERDICT r2 #8): the
+    exchange schedule runs many local stages between the ppermute stages and
+    the FRI host tail interacts with sharded folds at real depth — shapes the
+    n=64 default-tier proves never traverse."""
+    n = 1 << 12
+    air, trace, pis = _fib_setup(n)
+    mesh = make_row_mesh(8)
+    proof_sharded = prove(create_config(zk=True, mesh=mesh), air, trace, pis)
+    proof_single = prove(create_config(zk=True), air, trace, pis)
+    assert serialize_proof(proof_sharded) == serialize_proof(proof_single)
+    assert verify(create_config(zk=True), air, proof_sharded, pis)

@@ -53,6 +53,7 @@ def test_merkle_lowmem_matches_eager(monkeypatch, layers):
         assert mmcs.verify_batch(r_lm, [(h, w)], i, op)
 
 
+@pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
 def test_lowmem_prove_byte_identical(monkeypatch):
     """Full fib_air zk prove with lowmem forced on at 2^6 committed rows:
     every tree takes the lazy-salt + dropped-layer + lazy-codeword path, and

@@ -13,8 +13,10 @@ from tpu_stark.prover.config import create_config
 from tpu_stark.prover.proof import serialize_proof
 from tpu_stark.prover.prove import prove
 from tpu_stark.prover.verify import verify
+import pytest
 
 
+@pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
 def test_simulated_two_host_prove_bit_identical():
     air = FibonacciAir()
     trace = generate_trace_rows(0, 1, 64)

@@ -24,6 +24,7 @@ def _prove(n=32, **cfg_kw):
     return cfg, FibonacciAir(), prove(cfg, FibonacciAir(), trace, pis), pis
 
 
+@pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
 def test_p3_layout_roundtrip_device_rng():
     cfg, air, proof, pis = _prove()
     # committed trace rows carry width + 4 opened values

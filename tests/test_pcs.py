@@ -74,6 +74,7 @@ class TestPcsRoundTrip:
         assert pcs.verify(rounds_verify, proof, v_ch)
         return pcs, opened, all_evals, zeta, commits, proof
 
+    @pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
     def test_single_matrix(self):
         self._run(False, [([(8, 2)], [1])])
 
@@ -118,6 +119,7 @@ class TestPcsRoundTrip:
         assert not pcs.verify(rounds_verify, proof, v_ch)
 
 
+@pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
 def test_fri_host_tail_byte_identical(monkeypatch):
     """OPT-0018: the host-CPU FRI fold tail must be transcript-invisible —
     identical serialized proofs with the tail disabled (0) and fully

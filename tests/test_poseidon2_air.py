@@ -9,6 +9,7 @@ from tpu_stark.hash import poseidon2
 from tpu_stark.prover.config import create_config
 from tpu_stark.prover.prove import get_log_quotient_degree, prove
 from tpu_stark.prover.verify import verify
+import pytest
 
 
 def test_symbolic_info():
@@ -34,6 +35,7 @@ def test_trace_matches_permutation_chain():
         assert [int(v) for v in trace[i + 1, :16]] == want
 
 
+@pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
 def test_prove_verify_roundtrip():
     air = Poseidon2ChainAir()
     trace, pis = generate_trace(8, [7] * 16)

@@ -79,6 +79,7 @@ class TestFibAirZk:
         assert serialize_proof(p3) == b1
         assert verify(create_config(zk=True, backend="cpu"), air, p3, [0, 1, 21])
 
+    @pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
     def test_larger_trace(self):
         air = FibonacciAir()
         n = 64
@@ -121,6 +122,7 @@ class TestFibAirZk:
         assert zkp.opened_values.trace_local != plain.opened_values.trace_local
 
 
+@pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
 def test_lowmem_open_byte_identical(monkeypatch):
     """Low-memory open (release codewords post-fold, recompute query rows
     from coefficients) must not change a byte of the proof."""

@@ -11,6 +11,7 @@ from tpu_stark.prover.prove import prove
 from tpu_stark.prover.verify import verify
 
 
+@pytest.mark.slow  # multi-second prove: slow tier (docs/testing.md)
 def test_fib_2_10_poseidon2_plain():
     air = FibonacciAir()
     n = 1 << 10

@@ -119,16 +119,39 @@ class ShardedPcs(TwoAdicFriPcs):
 
     # -- commit (sharded LDE straight into the committed frame) -------------
     def commit(
-        self, domains_and_evals: Sequence[Tuple[TwoAdicCoset, jnp.ndarray]]
+        self,
+        domains_and_evals: Sequence[Tuple[TwoAdicCoset, jnp.ndarray]],
+        _randomize: bool = True,
     ):
         mesh = self.mesh
+        if _randomize and self.num_random_codewords > 0 and self.zk_layout == "p3":
+            # p3 add_random_cols layout in the sharded path: append the
+            # random columns before sharding (same draw order as the
+            # replicated path — proofs stay byte-identical across meshes)
+            domains_and_evals = [
+                (
+                    d,
+                    jnp.concatenate(
+                        [
+                            e,
+                            jnp.asarray(
+                                self.rng.sample_babybear_matrix_monty(
+                                    int(e.shape[0]), self.num_random_codewords
+                                )
+                            ),
+                        ],
+                        axis=1,
+                    ),
+                )
+                for d, e in domains_and_evals
+            ]
         if any(
             log2_strict(int(e.shape[0])) < _min_sharded_log_h(mesh)
             for _, e in domains_and_evals
         ):
             # tiny commits (FRI tails / sub-mesh heights): replicated parent
             # path; its dft facade is this object, which self-selects kernels.
-            return super().commit(domains_and_evals)
+            return super().commit(domains_and_evals, _randomize=False)
         shard = dntt.row_sharding(mesh)
         ldes_br, r_coeffs, domains, widths = [], [], [], []
         for domain, evals in domains_and_evals:
