@@ -75,6 +75,14 @@ def main() -> None:
         peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
     except Exception:  # noqa: BLE001 — not all platforms expose stats
         peak_gb = None
+    # axon hides memory_stats: fall back to the live-array census peak
+    # (retained arrays only — program temps invisible; a floor on true use)
+    live_peak = None
+    if not peak_gb:
+        from tpu_stark.bench.profiling import live_array_gb, live_peak_gb
+
+        live_array_gb()  # sample once more at end-of-prove
+        live_peak = round(live_peak_gb(), 2)
     print(
         json.dumps(
             {
@@ -87,6 +95,7 @@ def main() -> None:
                 "verify_s": round(t_verify, 3),
                 "proof_bytes": len(blob),
                 "peak_hbm_gb": round(peak_gb, 2) if peak_gb else None,
+                "live_census_peak_gb": live_peak,
             }
         )
     )

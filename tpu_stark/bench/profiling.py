@@ -44,9 +44,31 @@ def env_trace_dir() -> Optional[str]:
     return os.environ.get("TPU_STARK_PROFILE") or None
 
 
+_live_peak_gb = [0.0]  # high-water mark of the live-array census (fallback)
+
+
+def live_array_gb() -> float:
+    """Retained device bytes via a live-array census — the fallback HBM
+    accounting on platforms that hide ``memory_stats()`` (the axon tunnel;
+    VERDICT r2 weak #6).  Misses in-flight program temps, so it is a floor
+    on true usage, but it makes the phase-level retention story (lowmem
+    levers, lazy codewords) measurable.  Also tracks a process-wide peak
+    (``live_peak_gb``), sampled at every call."""
+    import jax
+
+    gb = sum(a.nbytes for a in jax.live_arrays()) / 2**30
+    _live_peak_gb[0] = max(_live_peak_gb[0], gb)
+    return gb
+
+
+def live_peak_gb() -> float:
+    return _live_peak_gb[0]
+
+
 def hbm_note() -> str:
-    """" | hbm cur/peak GB" suffix for timing marks, when the platform
-    exposes memory_stats (phase-level HBM accounting at 2^24 scale)."""
+    """" | hbm cur/peak GB" suffix for timing marks: real ``memory_stats``
+    when the platform exposes it, else the live-array census (retained
+    arrays only — program temps invisible)."""
     try:
         import jax
 
@@ -54,7 +76,7 @@ def hbm_note() -> str:
         cur = stats.get("bytes_in_use")
         peak = stats.get("peak_bytes_in_use")
         if cur is None:
-            return ""
+            return f" | live {live_array_gb():.2f} GB (census)"
         return f" | hbm {cur / 2**30:.2f}/{(peak or 0) / 2**30:.2f} GB"
     except Exception:  # noqa: BLE001
         return ""
