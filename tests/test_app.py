@@ -3,6 +3,7 @@ lib.rs:37-179): success strings, panic containment, backend knob."""
 
 from tpu_stark.app import api
 from tpu_stark.backend import registry
+import pytest
 
 
 def setup_module():
@@ -18,6 +19,7 @@ def test_run_fib_air_zk_contract_string():
     assert out == "fib_air zk ok (n=8, x=21)"  # fib_air.rs:74 contract
 
 
+@pytest.mark.slow  # second-stack CLI prove; stack smoke lives in test_uni_stark_poseidon2
 def test_run_fib_air_zk_poseidon2():
     out = api.run_fib_air_zk(n=8, hash="poseidon2")
     assert out == "fib_air zk ok (n=8, x=21)"

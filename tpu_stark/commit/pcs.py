@@ -650,9 +650,12 @@ class TwoAdicFriPcs:
                 # multi-device folds collapse to one device once tiny (see
                 # merkle.gather_if_tiny: sub-device-count GSPMD shapes are both
                 # slow and hazardous); the big early folds stay sharded.
+                # Reshapes happen INSIDE the jitted consumers: an eager
+                # (2^26, 4) -> (2^25, 2, 4) reshape compiled standalone chose
+                # a minor-dim-padded T(8,128) relayout — a 32 GB copy of a
+                # 1 GB array (observed compile OOM at the 2^24 prove).
                 current = gather_if_tiny(current)
-                pairs = current.reshape(-1, 2, 4)  # (h/2, 2, 4) ext pairs
-                flat = pairs.reshape(-1, 8)  # ExtensionMmcs flattening
+                flat = _pairs_flat(current)  # (h/2, 8) ExtensionMmcs rows
                 c_root, c_data = self.challenge_mmcs.commit([flat])
             commit_phase_commits.append(c_root)
             commit_phase_data.append(c_data)
@@ -664,7 +667,7 @@ class TwoAdicFriPcs:
                         _fold_pairs(jnp.asarray(pairs), ext4.scalar(beta), log_h)
                     )
             else:
-                current = _fold_pairs(pairs, ext4.scalar(beta), log_h)
+                current = _fold_codeword(current, ext4.scalar(beta), log_h)
             log_h -= 1
             if log_h in ro:
                 if on_host:
@@ -979,6 +982,19 @@ def _reduced_quotient(mat_br, apows, p_z, z_dev, y_br):
         rowblk, (mat_br.reshape(nb, blk, w), y_br.reshape(nb, blk))
     )
     return out.reshape(h, 4)
+
+
+@jax.jit
+def _pairs_flat(cw: jnp.ndarray) -> jnp.ndarray:
+    """(H, 4) ext codeword -> (H/2, 8) ExtensionMmcs leaf rows (reshape kept
+    in-graph — see the fold-loop layout note)."""
+    return cw.reshape(-1, 8)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _fold_codeword(cw: jnp.ndarray, beta_dev: jnp.ndarray, log_h: int) -> jnp.ndarray:
+    """One fold straight from the (H, 4) codeword (in-graph pairing)."""
+    return _fold_pairs(cw.reshape(-1, 2, 4), beta_dev, log_h)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
