@@ -3,7 +3,7 @@
 # two concurrent processes exhaust HBM on the shared v5e).
 cd /root/repo
 # wait for the 2^24 prove (pid 24912) to exit
-while kill -0 24912 2>/dev/null; do sleep 30; done
+while kill -0 26439 2>/dev/null; do sleep 30; done
 echo "=== 2^24 done, starting queue: $(date)"
 echo "=== keccak-air 2^20 (BASELINE config 4)"
 TPU_STARK_TIMING=1 timeout 7200 python bench_keccak_air.py 20 bench 1 > _r3_logs/keccak_air_2p20.log 2>&1
