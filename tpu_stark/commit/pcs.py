@@ -986,23 +986,31 @@ def _reduced_quotient(mat_br, apows, p_z, z_dev, y_br):
 
 @jax.jit
 def _pairs_flat(cw: jnp.ndarray) -> jnp.ndarray:
-    """(H, 4) ext codeword -> (H/2, 8) ExtensionMmcs leaf rows (reshape kept
-    in-graph — see the fold-loop layout note)."""
-    return cw.reshape(-1, 8)
+    """(H, 4) ext codeword -> (H/2, 8) ExtensionMmcs leaf rows.  Strided
+    slices + concat, NOT ``reshape(-1, 8)``: the rank-preserving reshape of a
+    (2^26, 4) u32 forces XLA:TPU through a minor-dim-padded {1,0:T(8,128)}
+    relayout — a 32 GB copy of a 1 GB array (reproduced standalone; compile
+    OOM).  The slice form compiles with 1 GB of temps."""
+    return jnp.concatenate([cw[0::2], cw[1::2]], axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _fold_codeword(cw: jnp.ndarray, beta_dev: jnp.ndarray, log_h: int) -> jnp.ndarray:
-    """One fold straight from the (H, 4) codeword (in-graph pairing)."""
-    return _fold_pairs(cw.reshape(-1, 2, 4), beta_dev, log_h)
+    """One fold straight from the (H, 4) codeword (strided-slice pairing —
+    see ``_pairs_flat``)."""
+    return _fold_eo(cw[0::2], cw[1::2], beta_dev, log_h)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _fold_pairs(pairs: jnp.ndarray, beta_dev: jnp.ndarray, log_h: int) -> jnp.ndarray:
-    """One arity-2 FRI fold in bit-reversed plain frame: pairs (H/2, 2, 4);
-    result (H/2, 4) on the squared domain."""
-    e = pairs[:, 0]
-    o = pairs[:, 1]
+    """One arity-2 FRI fold from (H/2, 2, 4) pairs (host-tail path)."""
+    return _fold_eo(pairs[:, 0], pairs[:, 1], beta_dev, log_h)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _fold_eo(e: jnp.ndarray, o: jnp.ndarray, beta_dev: jnp.ndarray, log_h: int) -> jnp.ndarray:
+    """One arity-2 FRI fold in bit-reversed plain frame: even/odd halves
+    (H/2, 4); result (H/2, 4) on the squared domain."""
     half = (bb.P + 1) // 2
     y = _plain_points_br(log_h)[0::2]  # point of each pair's even element
     inv_2y = bb.mul(
