@@ -1012,7 +1012,15 @@ def _fold_eo(e: jnp.ndarray, o: jnp.ndarray, beta_dev: jnp.ndarray, log_h: int) 
     """One arity-2 FRI fold in bit-reversed plain frame: even/odd halves
     (H/2, 4); result (H/2, 4) on the squared domain."""
     half = (bb.P + 1) // 2
-    y = _plain_points_br(log_h)[0::2]  # point of each pair's even element
+    # point of each pair's even element: y[j] = g_lh^(bitrev_{lh-1}(j)),
+    # built IN-GRAPH (bitrev of iota + square-and-multiply) — the host
+    # table as a traced literal made the compile REQUEST itself 256 MB at
+    # 2^26 rows (remote-compile HTTP 413; the OPT-0022 pathology)
+    h2 = e.shape[0]
+    exps = reverse_matrix_index_bits(
+        jnp.arange(h2, dtype=bb.u32)[:, None]
+    ).ravel()
+    y = bb.pow_exponents(bb.two_adic_generator(log_h), exps, log_h)
     inv_2y = bb.mul(
         bb.inv(y), jnp.asarray(np.uint32(bb.host_to_monty(half)))
     )
