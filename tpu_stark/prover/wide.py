@@ -574,6 +574,12 @@ def quotient_chunks_streamed(
             accs[j] = ext4.add(accs[j], folded)
             if inv_zeroifier[j] is None:
                 inv_zeroifier[j] = inv_z
+            # serialize partition/coset iterations: an unbounded dispatch
+            # queue lets several partitions' (n, |union|) u32 casts + NTT
+            # temps coexist — observed runtime HBM exhaustion at the
+            # keccak-air 2^20 quotient on a 16 GB chip (commit_wide guards
+            # its chunk loop the same way)
+            jax.block_until_ready(accs[j])
     chunks = [ext4.mul_base(accs[j], inv_zeroifier[j]) for j in range(qd)]
     if timing:
         jax.block_until_ready(chunks[-1])
