@@ -29,6 +29,9 @@ def main() -> None:
     from tpu_stark.prover.prove import prove
     from tpu_stark.prover.verify import verify
 
+    # reps=0: report the first (cold) run as the only sample — for scale
+    # points where a second in-process prove would re-pay most of the wall
+    # anyway and HBM is tight (2^24)
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     params = sys.argv[5] if len(sys.argv) > 5 else "test"
     # test params keep log_blowup=2 parity with the reference; production
@@ -57,9 +60,14 @@ def main() -> None:
 
     with maybe_trace(env_trace_dir()):  # TPU_STARK_PROFILE=<dir> for a device trace
         for _ in range(reps):
+            import gc
+
+            gc.collect()  # drop the previous rep's device refs before re-proving
             t0 = time.time()
             proof = prove(config(), air, trace, pis)
             samples.append(round(time.time() - t0, 3))
+    if not samples:  # reps=0: the cold run is the sample
+        samples = [round(t_first, 3)]
     t0 = time.time()
     ok = verify(config(), air, proof, pis)
     t_verify = time.time() - t0

@@ -708,12 +708,25 @@ class TwoAdicFriPcs:
         indices = [challenger.sample_bits(log_max) for _ in range(fri.num_queries)]
         pooled_fetch: List = []
         finishers: List = []
+
+        def _drain(fetch):
+            # serialize per-tree fetch construction: lazy-codeword recomputes
+            # and salt regeneration are multi-GB transients, and an unbounded
+            # dispatch queue let several trees' transients coexist on top of
+            # the retained fold matrices (observed runtime HBM exhaustion at
+            # the 2^24 warm rep).  The fetch results themselves are tiny.
+            for arr in reversed(fetch):  # last queued: drains the in-order stream
+                if isinstance(arr, jnp.ndarray):
+                    jax.block_until_ready(arr)
+                    break
+
         for data, _pts in rounds:
             r_max = max(int(m.shape[0]) for m in data.merkle.matrices)
             shift_bits = log_max - log2_strict(r_max)
             fetch, fin = self.val_mmcs.open_batch_many_lazy(
                 [i >> shift_bits for i in indices], data.merkle
             )
+            _drain(fetch)
             pooled_fetch.append(fetch)
             finishers.append(fin)
         idxs = list(indices)
