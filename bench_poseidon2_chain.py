@@ -13,6 +13,12 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_stark_jit_cache")
 
+# Stall forensics (the r3 2^18 fold-phase stall was undiagnosable without a
+# stack): periodic all-thread dumps to stderr while the prove runs.
+import faulthandler
+
+faulthandler.dump_traceback_later(600, repeat=True)
+
 
 def main() -> None:
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 18

@@ -85,6 +85,34 @@ class TestPoseidon2Mmcs:
         assert mmcs.verify_batch(root, [(16, 3), (4, 2)], 9, op)
         assert op.opened_salts is not None
 
+    def test_host_tail_layers_match_device(self):
+        """Tree layers above the host-tail cutoff build on the CPU backend
+        (the per-layer-shape remote-compile fix): same root, same opening
+        paths, mixed-height injection included."""
+        import os
+
+        tall = jnp.asarray(
+            bb.np_to_monty(RNG.integers(0, bb.P, size=(64, 5)).astype(np.uint32))
+        )
+        short = jnp.asarray(
+            bb.np_to_monty(RNG.integers(0, bb.P, size=(8, 2)).astype(np.uint32))
+        )
+        base_root, base_data = Poseidon2Mmcs().commit([tall, short])
+        os.environ["TPU_STARK_MERKLE_HOST_TAIL"] = "4"  # tail from 2^4 down
+        try:
+            root, data = Poseidon2Mmcs().commit([tall, short])
+        finally:
+            del os.environ["TPU_STARK_MERKLE_HOST_TAIL"]
+        assert tuple(root) == tuple(base_root)
+        import numpy as _np
+
+        assert any(isinstance(l, _np.ndarray) for l in data.layers)
+        for idx in (0, 11, 63):
+            op = Poseidon2Mmcs().open_batch_many([idx], data)[0]
+            assert Poseidon2Mmcs().verify_batch(
+                root, [(64, 5), (8, 2)], idx, op
+            )
+
     def test_leaf_digest_matches_host(self):
         mmcs = Poseidon2Mmcs()
         vals = RNG.integers(0, bb.P, size=(2, 9)).astype(np.uint32)

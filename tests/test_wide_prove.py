@@ -99,6 +99,62 @@ def test_pallas_absorb_carry_state_matches_batched_hash():
     assert np.array_equal(want, got)
 
 
+def test_row_blocked_quotient_matches_unblocked():
+    """The row-blocked quotient (r sub-sub-cosets per quotient coset, the
+    (height x width) memory bound) must produce the exact chunk values of the
+    unblocked streamed pass — including the next-row wraparound between
+    blocks (trans/iota/flags partitions read next rows)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from tpu_stark.commit.pcs import TwoAdicFriPcs
+    from tpu_stark.fields import extension as ext4
+    from tpu_stark.fri.config import create_test_fri_params
+    from tpu_stark.ntt.dft import Dft
+    from tpu_stark.prover.prove import _register_air, get_log_quotient_degree
+    from tpu_stark.prover.wide import quotient_chunks_streamed
+
+    air = KeccakAir()
+    trace = generate_trace(num_perms=3, seed=12, dtype=np.uint8)
+    n = trace.shape[0]
+    pcs = TwoAdicFriPcs(
+        Dft(backend="cpu"), create_test_fri_params(1), Poseidon2Mmcs(),
+        Poseidon2Mmcs(),
+    )
+    domain = pcs.natural_domain_for_degree(n)
+    src = WideMatrixSource(trace, pcs.dft, 1, domain)
+    log_qd = get_log_quotient_degree(air, 0, False)
+    rng = np.random.default_rng(2)
+    apows = jnp.asarray(
+        bb.np_to_monty(
+            rng.integers(0, bb.P, size=(9000, 4), dtype=np.uint32)
+        )
+    )
+    pis = jnp.asarray(np.zeros((0,), dtype=np.uint32))
+    key = _register_air(air)
+
+    def run():
+        from tpu_stark.prover import wide
+
+        wide._class_fn.cache_clear()  # force per-env-shape recompiles
+        _, chunks = quotient_chunks_streamed(
+            key, air, src, domain, log_qd, apows, pis, 0
+        )
+        return [np.asarray(c) for c in chunks]
+
+    base = run()
+    os.environ["TPU_STARK_QUOTIENT_MIN_BLOCK_LOG"] = "3"
+    os.environ["TPU_STARK_QUOTIENT_PANEL_MB"] = "0"  # force max blocking
+    try:
+        blocked = run()
+    finally:
+        del os.environ["TPU_STARK_QUOTIENT_MIN_BLOCK_LOG"]
+        del os.environ["TPU_STARK_QUOTIENT_PANEL_MB"]
+    for a, b in zip(base, blocked):
+        assert np.array_equal(a, b)
+
+
 def test_streamed_commit_root_matches_dense():
     from tpu_stark.commit.pcs import TwoAdicFriPcs
     from tpu_stark.fri.config import create_test_fri_params

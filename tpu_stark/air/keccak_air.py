@@ -123,13 +123,24 @@ class Partition:
     / ``next_cols`` are the exact global column footprint, so a streaming
     prover (prover/wide.py) can low-degree-extend ONLY those columns per
     partition instead of materializing the full (quotient-domain x width)
-    trace — the wide-AIR analog of SURVEY.md par7.2's streaming note."""
+    trace — the wide-AIR analog of SURVEY.md par7.2's streaming note.
 
-    def __init__(self, name, local_cols, next_cols, eval_fn):
+    ``key`` groups partitions whose ``eval`` bodies are structurally
+    identical once columns are addressed by POSITION in ``local_cols`` /
+    ``next_cols`` (which therefore use a class-canonical order, not
+    sorted-unique): the streamed quotient compiles ONE program per key and
+    reuses it across instances — on a tunneled TPU every extra compile is
+    a multi-second remote round trip, so 47 per-partition programs vs ~10
+    per-class programs is minutes of cold-start."""
+
+    def __init__(self, name, local_cols, next_cols, eval_fn, key=None):
         self.name = name
         self.local_cols = np.asarray(local_cols, dtype=np.int64)
         self.next_cols = np.asarray(next_cols, dtype=np.int64)
+        assert len(set(self.local_cols.tolist())) == len(self.local_cols)
+        assert len(set(self.next_cols.tolist())) == len(self.next_cols)
         self.eval = eval_fn
+        self.key = key if key is not None else name
 
 
 def _p_flags(b: AirBuilder) -> None:
@@ -234,45 +245,48 @@ def _p_trans(dst: int):
         gate.assert_eq(b.main_cols(1, next_idx), _chi_at(b, dst))
 
     sl = slice(dst * Z, (dst + 1) * Z)
-    local = np.unique(
-        np.concatenate([_CHI_B0[sl], _CHI_B1[sl], _CHI_B2[sl],
-                        [F_OFF + NUM_ROUNDS - 1]])
+    local = np.concatenate(
+        [[F_OFF + NUM_ROUNDS - 1], _CHI_B0[sl], _CHI_B1[sl], _CHI_B2[sl]]
     )
     return fn, local, next_idx
 
 
 def _build_partitions() -> List[Partition]:
+    # Column orders are CLASS-CANONICAL (group concatenation, no
+    # sorted-unique): every instance of a class maps each eval access to the
+    # same positions in its panel, so the streamed quotient's per-class
+    # program (keyed on ``Partition.key``) is reused across instances.
     f_idx = np.arange(F_OFF, F_OFF + NUM_ROUNDS)
     parts = [Partition("flags", f_idx, f_idx, _p_flags)]
     for g in range(5):  # booleanity of a, 5 consecutive lanes per partition
         idx = _A_IDX[g * 5 * Z : (g + 1) * 5 * Z]
-        parts.append(Partition(f"bool_a{g}", idx, [], _p_bool(idx)))
+        parts.append(Partition(f"bool_a{g}", idx, [], _p_bool(idx), "bool320"))
     for g in range(5):
         idx = _AP_IDX[g * 5 * Z : (g + 1) * 5 * Z]
-        parts.append(Partition(f"bool_ap{g}", idx, [], _p_bool(idx)))
+        parts.append(Partition(f"bool_ap{g}", idx, [], _p_bool(idx), "bool320"))
     idx = np.concatenate([_C_IDX, _CHI00_IDX])
     parts.append(Partition("bool_c_chi", idx, [], _p_bool(idx)))
     for x in range(5):
         fn, cols = _p_theta(x)
-        parts.append(Partition(f"theta{x}", np.unique(cols), [], fn))
+        parts.append(Partition(f"theta{x}", cols, [], fn, "theta"))
     for x in range(5):
         fn, cols = _p_apdef(x)
-        parts.append(Partition(f"apdef{x}", np.unique(cols), [], fn))
-    chi_cols = np.unique(
-        np.concatenate([_CHI_B0[:Z], _CHI_B1[:Z], _CHI_B2[:Z], _CHI00_IDX])
+        parts.append(Partition(f"apdef{x}", cols, [], fn, "apdef"))
+    chi_cols = np.concatenate(
+        [_CHI_B0[:Z], _CHI_B1[:Z], _CHI_B2[:Z], _CHI00_IDX]
     )
     parts.append(Partition("chi00def", chi_cols, [], _p_chi00def))
     parts.append(
         Partition(
             "iota",
-            np.unique(np.concatenate([f_idx, _CHI00_IDX])),
+            np.concatenate([f_idx, _CHI00_IDX]),
             np.array([_a_col(0, z) for z in range(Z)]),
             _p_iota,
         )
     )
     for dst in range(1, LANES):
         fn, local, nxt = _p_trans(dst)
-        parts.append(Partition(f"trans{dst}", local, nxt, fn))
+        parts.append(Partition(f"trans{dst}", local, nxt, fn, "trans"))
     return parts
 
 

@@ -633,6 +633,21 @@ class TwoAdicFriPcs:
         current = ro[log_max]
         log_h = log_max
         on_host = False
+
+        def lvl_mark(step: str, sync=None) -> None:
+            # per-fold-level timing (diagnosis of the r3 poseidon2-chain 2^18
+            # stall: >65 min with no mark between "reduced openings" and
+            # "FRI folds" left the failing level/step unknown)
+            if timing:
+                if sync is not None:
+                    jax.block_until_ready(sync)
+                now = time.perf_counter()
+                print(
+                    f"[fri]    level 2^{log_h} {step}: {now - t_last[0]:.3f}s",
+                    flush=True,
+                )
+                t_last[0] = now
+
         while log_h > log_min:
             if not on_host and log_h <= tail_log and _cpu_dev() is not None:
                 pull_heights = [lh for lh in sorted(ro) if lh < log_h]
@@ -646,6 +661,7 @@ class TwoAdicFriPcs:
                 c_root, c_data = _commit_on_host(
                     self.challenge_mmcs, [pairs.reshape(-1, 8)]
                 )
+                lvl_mark("host commit")
             else:
                 # multi-device folds collapse to one device once tiny (see
                 # merkle.gather_if_tiny: sub-device-count GSPMD shapes are both
@@ -656,7 +672,9 @@ class TwoAdicFriPcs:
                 # 1 GB array (observed compile OOM at the 2^24 prove).
                 current = gather_if_tiny(current)
                 flat = _pairs_flat(current)  # (h/2, 8) ExtensionMmcs rows
+                lvl_mark("pairs (forces queued folds)", flat)
                 c_root, c_data = self.challenge_mmcs.commit([flat])
+                lvl_mark("commit", c_data.layers[-1])
             commit_phase_commits.append(c_root)
             commit_phase_data.append(c_data)
             challenger.observe_commitment(c_root)

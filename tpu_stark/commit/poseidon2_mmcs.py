@@ -90,6 +90,23 @@ def hash_rows_batched(mat_monty: jnp.ndarray) -> jnp.ndarray:
     if _poseidon2_impl() == "pallas":
         from ..hash import pallas_poseidon2
 
+        if 0 < int(k) <= RATE and pallas_poseidon2.supports(int(n), WIDTH):
+            # One-chunk sponge == TruncatedPermutation of [row ; zeros]
+            # (overwrite-absorb into the zero state).  Routing through the
+            # rate-16 compress kernel SHAPE means FRI fold-level commits
+            # ((h, 8) leaves at every level) reuse the tree-compress
+            # compiles instead of Mosaic-compiling a fresh (h, 8) sponge
+            # per level — measured 7-27 s per remote compile, the dominant
+            # cost of the r3 poseidon2-chain 2^18 stall
+            # (_r4_logs/p2chain_2p16_diag.log).
+            state_t = jnp.concatenate(
+                [mat_monty.T, jnp.zeros((WIDTH - int(k), n), dtype=bb.u32)],
+                axis=0,
+            )
+            out = pallas_poseidon2.hash_rows_transposed(
+                state_t, n_items=WIDTH, rate=WIDTH
+            )
+            return out.reshape(OUT, n).T
         if pallas_poseidon2.supports(int(n), int(k)):
             return pallas_poseidon2.hash_rows(mat_monty)
     state = jnp.zeros((n, WIDTH), dtype=bb.u32)
@@ -151,19 +168,89 @@ def _compress_pairwise(a, b):
     return compress_batched(a, b)
 
 
-def _build_layers(groups: dict) -> List[jnp.ndarray]:
-    """Per-layer cached jits (see merkle._build_layers rationale)."""
-    max_h = max(groups)
-    digests = _leaf_layer(*groups[max_h])
-    layers = [digests]
+import functools as _functools
+import os as _os
+
+
+@_functools.cache
+def _cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:  # noqa: BLE001 — no cpu backend: host tail disabled
+        return None
+
+
+def _merkle_host_tail_log() -> int:
+    """Tree layers at <= 2^this rows build on the host CPU backend.  Every
+    DEVICE layer is a distinct compiled shape — Mosaic-compiling the full
+    Poseidon2 kernel per layer costs 7-27 s per shape over the tunnel
+    (measured: ~16 such compiles = the bulk of the r3 poseidon2-chain
+    514 s trace-tree build, _r4_logs/p2chain_2p16_diag.log) for layers
+    whose total compute is microseconds.  ``TPU_STARK_MERKLE_HOST_TAIL``
+    overrides; 0 disables."""
+    env = _os.environ.get("TPU_STARK_MERKLE_HOST_TAIL")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    if jax.default_backend() == "cpu":
+        return 0
+    from ..backend.policy import current_policy
+
+    return current_policy().fri_host_tail_log
+
+
+def build_layers_from_digests(
+    digests: jnp.ndarray, max_h: int, groups: Optional[dict] = None
+) -> List:
+    """Compress chain from an existing (max_h, 8) leaf-digest layer up to
+    the root, with optional per-height injected matrix groups.  Small upper
+    layers switch to the host CPU backend (host layers are stored as
+    canonical numpy — the ``_digest_at``/``open_batch_many_lazy`` host-layer
+    convention — so the query phase's gathers on them are tunnel-free too).
+    Shared by the dense MMCS commit and the streamed wide-trace commit
+    (prover/wide.py)."""
+    groups = groups or {}
+    layers: List = [digests]
     h = max_h
-    while h > 1:
+    tail = _merkle_host_tail_log()
+    cpu = _cpu_device()
+    while h > 1 and not (tail and cpu is not None and (h >> 1) <= (1 << tail)):
         h >>= 1
         digests = _compress_layer(digests)
         if h in groups:
             digests = _compress_pairwise(digests, _leaf_layer(*groups[h]))
         layers.append(digests)
+    if h > 1:  # host tail (forced XLA impls: Mosaic is TPU-only)
+        forced = {"TPU_STARK_POSEIDON2_IMPL": "xla"}
+        saved = {k: _os.environ.get(k) for k in forced}
+        _os.environ.update(forced)
+        try:
+            digests = jax.device_put(np.asarray(digests), cpu)
+            while h > 1:
+                h >>= 1
+                digests = _compress_layer(digests)
+                if h in groups:
+                    mats = [
+                        jax.device_put(np.asarray(m), cpu) for m in groups[h]
+                    ]
+                    digests = _compress_pairwise(digests, _leaf_layer(*mats))
+                layers.append(bb.np_from_monty(np.asarray(digests)))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    _os.environ.pop(k, None)
+                else:
+                    _os.environ[k] = v
     return layers
+
+
+def _build_layers(groups: dict) -> List[jnp.ndarray]:
+    """Per-layer cached jits (see merkle._build_layers rationale) + host
+    tail for the small upper layers (``build_layers_from_digests``)."""
+    max_h = max(groups)
+    return build_layers_from_digests(_leaf_layer(*groups[max_h]), max_h, groups)
 
 
 class Poseidon2Mmcs:
@@ -214,7 +301,11 @@ class Poseidon2Mmcs:
         return ProverData(
             [np.asarray(m) for m in data.matrices],
             None if data.salts is None else [np.asarray(s) for s in data.salts],
-            [bb.np_from_monty(np.asarray(l)) for l in data.layers],
+            [
+                l if isinstance(l, np.ndarray)  # host-tail layers: already canonical
+                else bb.np_from_monty(np.asarray(l))
+                for l in data.layers
+            ],
             data.root,
         )
 

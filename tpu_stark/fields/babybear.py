@@ -266,6 +266,23 @@ def pow_exponents(base_canonical: int, e: jnp.ndarray, max_bits: int) -> jnp.nda
     return acc
 
 
+def powers_traced(s, n: int) -> jnp.ndarray:
+    """[1, s, s^2, ..., s^(n-1)] (Monty) of a TRACED Monty scalar ``s`` —
+    in-graph square-and-multiply over log2(n) masked vector multiplies (the
+    traced-base twin of ``pow_exponents``: coset shifts that are DATA, like
+    the streamed quotient's per-(sub-coset, row-block) shifts, must not bake
+    into the compiled program or every shift recompiles it)."""
+    e = jnp.arange(n, dtype=u32)
+    acc = monty_ones((n,))
+    sq = s
+    k = 0
+    while (1 << k) < n:
+        acc = jnp.where((e >> np.uint32(k)) & np.uint32(1) == 1, mul(acc, sq), acc)
+        sq = mul(sq, sq)
+        k += 1
+    return acc
+
+
 def sum_mod(arr, axis: int = 0):
     """Modular sum along an axis via log-depth pairwise ``add`` folding
     (uint32 lanes cannot accumulate raw sums without overflow)."""

@@ -65,15 +65,87 @@ from .proof import Commitments, OpenedValues, Proof
 
 def _wide_chunk_for(lde_h: int) -> int:
     """Column-chunk width: bounded so one chunk's (lde_h, chunk) u32
-    intermediate stays ~<=256 MB — the commit pipeline holds several chunk
-    intermediates in flight (monty cast, coeffs, pad, NTT out, bit-reversal,
-    absorb transpose) and 512-col chunks at 2^21 rows OOMed a 16 GB chip.
-    TPU_STARK_WIDE_CHUNK overrides."""
+    intermediate stays ~<=1 GB.  The whole per-chunk pipeline now runs as a
+    handful of jitted programs (see ``_tf_coeffs_fn``/``_lde_br_fn``), so the
+    in-flight set is XLA-managed (~4-6x one chunk) instead of the r3 eager
+    chain's dozens of materialized temporaries — which is what limited r3 to
+    32-column chunks (113 chunk iterations for the keccak-air commit, each
+    paying tunneled per-op dispatch; 829 s).  TPU_STARK_WIDE_CHUNK overrides."""
     env = os.environ.get("TPU_STARK_WIDE_CHUNK")
     if env:
         return int(env)
-    budget_elems = (256 << 20) // 4
+    budget_elems = (1 << 30) // 4
     return max(poseidon2_mmcs.RATE, min(512, (budget_elems // lde_h) // 8 * 8))
+
+
+# -- jitted per-chunk pipelines ----------------------------------------------
+# Each step below is ONE compiled program per shape.  The r3 eager chain
+# (gather -> from_u32 -> idft -> randomize -> scale -> pad -> dft -> bitrev)
+# both OOMed (eager elementwise ops materialize every _umul32_wide temp:
+# ~8 full-size u32 arrays per mul at (2^20, 768) — the keccak-air 2^20
+# quotient death, _r3_logs/keccak_air_2p20.log) and crawled on the tunneled
+# chip, where every eager op is a separate remote dispatch and, cold, a
+# 0.3-0.8 s remote compile each (measured: _r4_logs/p2chain_2p16_diag.log).
+
+
+@jax.jit
+def _monty_cols_fn(trace_dev, cols):
+    return bb.from_u32(trace_dev[:, cols].astype(bb.u32))
+
+
+@jax.jit
+def _tf_coeffs_plain_fn(trace_dev, cols):
+    """Trace-frame coefficients of the given columns (non-zk)."""
+    from ..ntt import radix2
+
+    return radix2.idft_batch(bb.from_u32(trace_dev[:, cols].astype(bb.u32)))
+
+
+@jax.jit
+def _tf_coeffs_zk_chunk_fn(trace_dev, cols, zk_key, chunk_idx):
+    """Trace-frame committed T' = [q - r ; r] coefficients for one ALIGNED
+    column chunk (randomizer stream = fold_in(key, chunk_idx), full chunk)."""
+    from ..compat.device_rng import _sample_monty
+    from ..ntt import radix2
+
+    q = radix2.idft_batch(bb.from_u32(trace_dev[:, cols].astype(bb.u32)))
+    r = _sample_monty(
+        jax.random.fold_in(zk_key, chunk_idx), q.shape[0], q.shape[1]
+    )
+    return jnp.concatenate([bb.sub(q, r), r], axis=0)
+
+
+@jax.jit
+def _tf_coeffs_zk_cols_fn(trace_dev, cols, rand):
+    """As above for ARBITRARY columns, with the (n, k) randomizer values
+    (regenerated per-chunk outside) passed in."""
+    from ..ntt import radix2
+
+    q = radix2.idft_batch(bb.from_u32(trace_dev[:, cols].astype(bb.u32)))
+    return jnp.concatenate([bb.sub(q, rand), rand], axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _lde_br_fn(tf_coeffs, sigma_pows, log_blowup):
+    """(N, wc) trace-frame coeffs -> (N << log_blowup, wc) bit-reversed
+    committed-codeword columns (plain-frame relabel, pad, NTT, bitrev)."""
+    from ..ntt import radix2
+
+    h, wc = tf_coeffs.shape
+    r_small = bb.mul(tf_coeffs, sigma_pows[:, None])
+    r_pad = jnp.zeros((h << log_blowup, wc), dtype=bb.u32).at[:h].set(r_small)
+    return reverse_matrix_index_bits(radix2.dft_batch(r_pad))
+
+
+@jax.jit
+def _scale_coeffs_fn(tf_coeffs, sigma_pows):
+    return bb.mul(tf_coeffs, sigma_pows[:, None])
+
+
+@jax.jit
+def _eval_chunk_fn(tf_coeffs, sigma_pows, zpow):
+    """Plain-frame polynomial-at-point for a coefficient chunk: (wc, 4)."""
+    return _eval_at_point(bb.mul(tf_coeffs, sigma_pows[:, None]), zpow)
 
 
 class WideMatrixSource:
@@ -131,10 +203,13 @@ class WideMatrixSource:
             yield off, min(self.col_chunk, self.w - off)
 
     # -- per-chunk pipeline --------------------------------------------------
+    def _sigma_pows(self) -> jnp.ndarray:
+        """(n_committed,) plain-frame relabel scale (device-cached table)."""
+        return bb.powers_monty(self._sigma, self.n_committed)
+
     def monty_cols(self, cols) -> jnp.ndarray:
         """(n, k) Monty device values of the given global columns."""
-        raw = self.trace_dev[:, jnp.asarray(np.asarray(cols))]
-        return bb.from_u32(raw.astype(bb.u32))
+        return _monty_cols_fn(self.trace_dev, jnp.asarray(np.asarray(cols)))
 
     def _rand_chunk(self, chunk_idx: int, wc: int) -> jnp.ndarray:
         """(n, wc) Monty randomizer columns of chunk ``chunk_idx``."""
@@ -144,50 +219,55 @@ class WideMatrixSource:
         return _sample_monty(key, self.n, wc)
 
     def _rand_cols(self, cols: np.ndarray) -> jnp.ndarray:
-        """(n, k) randomizer values of sorted-unique global columns —
-        regenerated from the per-chunk counter-based stream."""
+        """(n, k) randomizer values of ARBITRARY global columns (repeats
+        allowed — the padded quotient panels repeat a filler column) —
+        regenerated from the per-chunk counter-based streams."""
         cols = np.asarray(cols)
-        assert np.all(np.diff(cols) > 0), "cols must be sorted unique"
+        uniq, inverse = np.unique(cols, return_inverse=True)
         parts = []
-        for c in sorted({int(j) // self.col_chunk for j in cols}):
+        for c in sorted({int(j) // self.col_chunk for j in uniq}):
             off = c * self.col_chunk
             wc = min(self.col_chunk, self.w - off)
             local = np.array(
-                [int(j) - off for j in cols if off <= int(j) < off + wc],
+                [int(j) - off for j in uniq if off <= int(j) < off + wc],
                 dtype=np.int32,
             )
             parts.append(self._rand_chunk(c, wc)[:, jnp.asarray(local)])
-        return jnp.concatenate(parts, axis=1)
+        full = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        return full[:, jnp.asarray(inverse.astype(np.int32))]
 
-    def _randomize(self, q: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-        """Trace coeffs (n, k) -> committed T' coeffs (2n, k):
-        [q - r ; r] (T + Z_H·R with Z_H = x^n - 1)."""
-        return jnp.concatenate([bb.sub(q, r), r], axis=0)
-
-    def coeff_chunk(self, off: int, wc: int) -> jnp.ndarray:
-        """(n_committed, wc) plain-frame coefficients (the dense path's
-        r_small)."""
-        q = self.dft.idft_batch(self.monty_cols(np.arange(off, off + wc)))
+    def tf_coeffs_chunk(self, off: int, wc: int) -> jnp.ndarray:
+        """(n_committed, wc) TRACE-FRAME committed coefficients of the
+        aligned chunk [off, off+wc)."""
+        cols = jnp.asarray(np.arange(off, off + wc))
         if self.zk:
-            q = self._randomize(q, self._rand_chunk(off // self.col_chunk, wc))
-        return bb.mul(q, bb.powers_monty(self._sigma, self.n_committed)[:, None])
+            return _tf_coeffs_zk_chunk_fn(
+                self.trace_dev, cols, self._zk_key,
+                jnp.int32(off // self.col_chunk),
+            )
+        return _tf_coeffs_plain_fn(self.trace_dev, cols)
 
     def quotient_coeffs_cols(self, cols: np.ndarray) -> jnp.ndarray:
         """(n_committed, k) TRACE-FRAME committed coefficients of arbitrary
         columns (no plain-frame relabel) — the streamed quotient evaluates
         T' on the quotient sub-cosets from these."""
-        q = self.dft.idft_batch(self.monty_cols(cols))
+        cols_dev = jnp.asarray(np.asarray(cols))
         if self.zk:
-            q = self._randomize(q, self._rand_cols(cols))
-        return q
+            return _tf_coeffs_zk_cols_fn(
+                self.trace_dev, cols_dev, self._rand_cols(cols)
+            )
+        return _tf_coeffs_plain_fn(self.trace_dev, cols_dev)
+
+    def coeff_chunk(self, off: int, wc: int) -> jnp.ndarray:
+        """(n_committed, wc) plain-frame coefficients (the dense path's
+        r_small)."""
+        return _scale_coeffs_fn(self.tf_coeffs_chunk(off, wc), self._sigma_pows())
 
     def lde_br_chunk(self, off: int, wc: int) -> jnp.ndarray:
         """(lde_h, wc) bit-reversed committed-codeword columns."""
-        r_small = self.coeff_chunk(off, wc)
-        r_pad = jnp.zeros((self.lde_h, wc), dtype=bb.u32).at[
-            : self.n_committed
-        ].set(r_small)
-        return reverse_matrix_index_bits(self.dft.dft_batch(r_pad))
+        return _lde_br_fn(
+            self.tf_coeffs_chunk(off, wc), self._sigma_pows(), self.log_blowup
+        )
 
     # -- PCS hooks -------------------------------------------------------------
     def __getitem__(self, rows) -> jnp.ndarray:
@@ -202,7 +282,9 @@ class WideMatrixSource:
         point (the dense path's ``_eval_at_point`` over streamed coeffs)."""
         zpow = ext4.powers_device(z_y, self.n_committed)
         parts = [
-            _eval_at_point(self.coeff_chunk(off, wc), zpow)
+            _eval_chunk_fn(
+                self.tf_coeffs_chunk(off, wc), self._sigma_pows(), zpow
+            )
             for off, wc in self.chunks()
         ]
         return jnp.concatenate(parts, axis=0)
@@ -401,12 +483,7 @@ def commit_wide(
             stream.absorb_cols(salt_mat)
         digests = stream.finalize()
         del salt_mat
-    layers = [digests]
-    h = source.lde_h
-    while h > 1:
-        h >>= 1
-        digests = poseidon2_mmcs._compress_layer(digests)
-        layers.append(digests)
+    layers = poseidon2_mmcs.build_layers_from_digests(digests, source.lde_h)
     root = poseidon2_mmcs._digest_at(layers[-1], 0)
     if timing:
         jax.block_until_ready(layers[-1])
@@ -477,42 +554,141 @@ def partition_counts(air: BaseAir, num_pis: int) -> List[int]:
     return counts
 
 
+_PANEL_COL_CHUNK = 256  # columns per coefficient/NTT dispatch
+_PANEL_COL_PAD = 64  # panel widths padded to this multiple: bounds the set
+# of compiled chunk shapes to {64, 128, 192, 256} per height
+
+
+def _panel_cols_for(part) -> np.ndarray:
+    """Class-canonical panel column order: ``local_cols`` then the
+    ``next_cols`` not already present, padded to a ``_PANEL_COL_PAD``
+    multiple with a repeated filler column.  Same-key partitions therefore
+    map every eval access to the same panel POSITIONS — one compiled program
+    per class (keccak-air: ~10 programs for 47 partitions; each extra
+    compile is a multi-second remote round trip on a tunneled chip)."""
+    local = part.local_cols
+    in_local = {int(c) for c in local}
+    extra = [int(c) for c in part.next_cols if int(c) not in in_local]
+    assert len(extra) in (0, len(part.next_cols)), part.name
+    cols = (
+        np.concatenate([local, np.array(extra, dtype=np.int64)])
+        if extra
+        else np.asarray(local)
+    )
+    pad = (-len(cols)) % _PANEL_COL_PAD
+    if pad:
+        cols = np.concatenate([cols, np.full(pad, cols[0], dtype=np.int64)])
+    return cols
+
+
+def _block_count(n: int, u_pad: int, use_next: bool) -> int:
+    """Row blocks r (power of two): sub-divide each size-n quotient coset
+    into r sub-cosets so the live panel set ((n/r, u_pad) u32 x 1, or x 3
+    when the partition reads next rows — current + next + block-0 for the
+    wraparound) fits the budget.  This is the (height x width) bound the r3
+    design lacked: partitions bounded only WIDTH, and keccak-air 2^20's
+    768-column panels OOMed a 16 GB chip (VERDICT r3 item 1)."""
+    budget = int(os.environ.get("TPU_STARK_QUOTIENT_PANEL_MB", "1024")) << 20
+    min_log = int(os.environ.get("TPU_STARK_QUOTIENT_MIN_BLOCK_LOG", "13"))
+    live = 3 if use_next else 1
+    r = 1
+    while r < 32 and (n // r) > (1 << min_log) and (n // r) * u_pad * 4 * live > budget:
+        r <<= 1
+    return r
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _panel_eval_fn(log_m, tf_coeffs, s_k):
+    """Evaluate a coefficient chunk's columns on the size-2^log_m coset
+    s_k*<g_m>: x^m = s_k^m is constant there, so the (npan*m)-coefficient
+    columns fold to m coefficients with powers of s_k^m, then scale by
+    s_k^i and one plain NTT.  s_k is DATA (every (sub-coset, row-block)
+    pair has its own shift — baking it would recompile per pair)."""
+    from ..ntt import radix2
+
+    m = 1 << log_m
+    npan = tf_coeffs.shape[0] // m
+    s_pows = bb.powers_traced(s_k, m)
+    fold = tf_coeffs[:m]
+    if npan > 1:
+        s_m = bb.mul(s_pows[m - 1], s_k)
+        w = s_m
+        for q in range(1, npan):
+            fold = bb.add(fold, bb.mul(tf_coeffs[q * m : (q + 1) * m], w))
+            w = bb.mul(w, s_m)
+    return radix2.dft_batch(bb.mul(fold, s_pows[:, None]))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _next_mat_fn(panel, next_sel, wrap):
+    """Next-row columns for a block: block k's next rows live at the same
+    positions of block k+1's panel (strided sub-cosets: row t of block k is
+    global row k + r*t); the LAST block wraps into block 0 shifted by one."""
+    nm = panel[:, next_sel]
+    if wrap:
+        nm = jnp.concatenate([nm[1:], nm[:1]], axis=0)
+    return nm
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _inv_zh_fn(log_n, g_pows, shift):
+    xs = bb.mul(g_pows, shift)
+    zh = bb.sub(bb.pow_const(xs, 1 << log_n), bb.monty_ones(xs.shape))
+    return bb.inv(zh)
+
+
+@functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+def _acc_add_block_fn(acc, folded, k, r: int):
+    """acc[k::r] += folded, as a (m, r, 4) view with a traced block index
+    (natural row i = k + r*t lives at view [t, k]) — one compile per r."""
+    n = acc.shape[0]
+    a3 = acc.reshape(n // r, r, 4)
+    blk = ext4.add(a3[:, k, :], folded)
+    return a3.at[:, k, :].set(blk).reshape(n, 4)
+
+
+@jax.jit
+def _mul_base_fn(acc, inv_z):
+    return ext4.mul_base(acc, inv_z)
+
+
 @functools.lru_cache(maxsize=None)
-def _partition_fn(air_key, part_idx: int, log_n: int, num_pis: int):
-    """One jitted program per (air, partition): coset NTT of the partition's
-    columns is done eagerly outside; this evaluates constraints + alpha-folds.
-    xs (the coset points) is data, so all ``qd`` sub-cosets share the compile."""
+def _class_fn(air_key, class_key, log_n: int, log_m: int, num_pis: int):
+    """One jitted constraint-eval program per (air, partition CLASS): panel
+    and next-row columns arrive pre-evaluated on the block's sub-coset; this
+    builds the trace-domain selectors from the block's points and alpha-folds
+    the class's constraints.  Every same-key partition instance reuses it
+    (positions are class-canonical, _panel_cols_for)."""
     from .prove import _AIR_REGISTRY
 
     air = _AIR_REGISTRY[air_key]
-    part = air.partitions()[part_idx]
+    part = next(p for p in air.partitions() if p.key == class_key)
     n = 1 << log_n
     last_pt = rf.finv(bb.two_adic_generator(log_n))  # trace domain shift=1
 
     @jax.jit
-    def pfn(lde_union, local_sel, next_sel, xs, alpha_slice, pis_monty):
-        # selectors of the trace domain over this coset, from traced points
+    def pfn(panel, next_mat, local_sel, gr_pows, s_k, alpha_slice, pis_monty):
+        xs = bb.mul(gr_pows, s_k)  # block points s_k * g^(r*t)
         zh = bb.sub(bb.pow_const(xs, n), bb.monty_ones(xs.shape))
-        first = bb.mul(zh, bb.inv(bb.sub(xs, bb.monty_ones(xs.shape))))
-        last = bb.mul(zh, bb.inv(bb.sub(xs, bb.monty_scalar(last_pt))))
-        transition = bb.sub(xs, bb.monty_scalar(last_pt))
         selectors = {
-            "is_first_row": first,
-            "is_last_row": last,
-            "is_transition": transition,
+            "is_first_row": bb.mul(
+                zh, bb.inv(bb.sub(xs, bb.monty_ones(xs.shape)))
+            ),
+            "is_last_row": bb.mul(
+                zh, bb.inv(bb.sub(xs, bb.monty_scalar(last_pt)))
+            ),
+            "is_transition": bb.sub(xs, bb.monty_scalar(last_pt)),
         }
-        lde_next = jnp.roll(lde_union, -1, axis=0)
         b = _PartitionBuilder(
-            lde_union[:, local_sel],
-            lde_next[:, next_sel],
+            panel[:, local_sel],
+            next_mat,
             part.local_cols,
             part.next_cols,
             selectors,
             [DevVal(pis_monty[i]) for i in range(num_pis)],
         )
         part.eval(b)
-        folded = b.folded_constraints(alpha_slice)
-        return folded, bb.inv(zh)
+        return b.folded_constraints(alpha_slice)
 
     return pfn
 
@@ -528,11 +704,19 @@ def quotient_chunks_streamed(
     num_pis: int,
 ) -> Tuple[List[TwoAdicCoset], List[jnp.ndarray]]:
     """Quotient chunk evaluations, one (n, 4) ext matrix per sub-coset,
-    identical values to the dense ``_quotient_fn`` + ``[i::qd]`` split."""
+    identical values to the dense ``_quotient_fn`` + ``[i::qd]`` split.
+
+    Row-blocked: each partition's panel is evaluated per (sub-coset j,
+    row-block k) on the strided sub-sub-coset {shift_j * g^(k + r*t)} —
+    live memory is bounded by (n/r x u_pad) panels (see ``_block_count``),
+    never the full (n x union) matrix, and every stage runs as a jitted
+    program (the r3 eager chain OOMed before the first partition's iNTT,
+    _r3_logs/keccak_air_2p20.log)."""
     timing = os.environ.get("TPU_STARK_TIMING") == "1"
     t0 = time.perf_counter()
     n = source.n
     log_n = trace_domain.log_n
+    g_int = bb.two_adic_generator(log_n)
     qd = 1 << log_qd
     quotient_domain = trace_domain.create_disjoint_domain(n * qd)
     chunk_domains = quotient_domain.split_domains(qd)
@@ -540,47 +724,76 @@ def quotient_chunks_streamed(
     counts = partition_counts(air, num_pis)
     offs = np.concatenate([[0], np.cumsum(counts)])
 
-    base_pts = bb.powers_monty(bb.two_adic_generator(log_n), n)
+    g_pows_n = bb.powers_monty(g_int, n)
     accs = [ext4.zero((n,)) for _ in range(qd)]
-    inv_zeroifier: List[Optional[jnp.ndarray]] = [None] * qd
+    inv_zh = [
+        _inv_zh_fn(log_n, g_pows_n, bb.monty_scalar(cd.shift))
+        for cd in chunk_domains
+    ]
     for p_idx, part in enumerate(parts):
-        union = np.unique(np.concatenate([part.local_cols, part.next_cols]))
-        upos = {int(c): i for i, c in enumerate(union)}
+        panel_cols = _panel_cols_for(part)
+        u_pad = len(panel_cols)
+        use_next = len(part.next_cols) > 0
+        r = _block_count(n, u_pad, use_next)
+        log_m = log_n - (r.bit_length() - 1)
+        m = 1 << log_m
+        pos: dict = {}
+        for i, c in enumerate(panel_cols):
+            pos.setdefault(int(c), i)
         local_sel = jnp.asarray(
-            np.array([upos[int(c)] for c in part.local_cols], dtype=np.int32)
+            np.array([pos[int(c)] for c in part.local_cols], dtype=np.int32)
         )
         next_sel = jnp.asarray(
-            np.array([upos[int(c)] for c in part.next_cols], dtype=np.int32)
+            np.array([pos[int(c)] for c in part.next_cols], dtype=np.int32)
         )
-        # one iNTT per partition; each sub-coset reuses the coefficients.
-        # zk: coeffs are the degree-<2n committed T' — evaluating on a
-        # size-n coset c·K_n folds the halves first (x^n = c^n is constant
-        # on the coset): p(x) = sum_i (c_i + c^n·c_{i+n}) x^i there.
-        coeffs = source.quotient_coeffs_cols(union)
+        # trace-frame committed coefficients, chunked by columns, computed
+        # ONCE per partition and reused by every (coset, block) evaluation.
+        tf_chunks = []
+        for c_off in range(0, u_pad, _PANEL_COL_CHUNK):
+            cc = panel_cols[c_off : c_off + _PANEL_COL_CHUNK]
+            tf = source.quotient_coeffs_cols(cc)
+            # serialize dispatches: bounds in-flight NTT temps (r3's
+            # observed runtime HBM exhaustion mode)
+            jax.block_until_ready(tf)
+            tf_chunks.append(tf)
         alpha_slice = alpha_pows_dev[offs[p_idx] : offs[p_idx + 1]]
-        pfn = _partition_fn(air_key, p_idx, log_n, num_pis)
-        for j, cd in enumerate(chunk_domains):
-            spow = bb.powers_monty(cd.shift, n)
-            if source.zk:
-                c_n = bb.monty_scalar(pow(cd.shift, n, bb.P))
-                folded_c = bb.add(coeffs[:n], bb.mul(coeffs[n:], c_n))
-            else:
-                folded_c = coeffs
-            on_coset = source.dft.dft_batch(bb.mul(folded_c, spow[:, None]))
-            xs = bb.mul(base_pts, bb.monty_scalar(cd.shift))
-            folded, inv_z = pfn(
-                on_coset, local_sel, next_sel, xs, alpha_slice, pis_dev
+        pfn = _class_fn(air_key, part.key, log_n, log_m, num_pis)
+        gr_pows = bb.powers_monty(bb.two_adic_generator(log_m), m)
+
+        def build_panel(shift: int) -> jnp.ndarray:
+            s_k = bb.monty_scalar(shift)
+            panels = [_panel_eval_fn(log_m, tf, s_k) for tf in tf_chunks]
+            return panels[0] if len(panels) == 1 else jnp.concatenate(
+                panels, axis=1
             )
-            accs[j] = ext4.add(accs[j], folded)
-            if inv_zeroifier[j] is None:
-                inv_zeroifier[j] = inv_z
-            # serialize partition/coset iterations: an unbounded dispatch
-            # queue lets several partitions' (n, |union|) u32 casts + NTT
-            # temps coexist — observed runtime HBM exhaustion at the
-            # keccak-air 2^20 quotient on a 16 GB chip (commit_wide guards
-            # its chunk loop the same way)
-            jax.block_until_ready(accs[j])
-    chunks = [ext4.mul_base(accs[j], inv_zeroifier[j]) for j in range(qd)]
+
+        for j, cd in enumerate(chunk_domains):
+            shifts = [
+                (cd.shift * pow(g_int, k, bb.P)) % bb.P for k in range(r)
+            ]
+            p0 = build_panel(shifts[0])
+            panels = {0: p0}
+            for k in range(r):
+                cur = panels.pop(k)
+                if use_next and k + 1 < r:
+                    panels[k + 1] = build_panel(shifts[k + 1])
+                    nmat = _next_mat_fn(panels[k + 1], next_sel, False)
+                elif use_next:  # last block wraps into block 0, shifted
+                    nmat = _next_mat_fn(p0, next_sel, True)
+                else:
+                    nmat = _next_mat_fn(cur, next_sel, False)
+                folded = pfn(
+                    cur, nmat, local_sel, gr_pows,
+                    bb.monty_scalar(shifts[k]), alpha_slice, pis_dev,
+                )
+                accs[j] = _acc_add_block_fn(accs[j], folded, jnp.int32(k), r)
+                # serialize blocks (see tf_chunks note)
+                jax.block_until_ready(accs[j])
+                del cur, nmat, folded
+                if not use_next and k + 1 < r:
+                    panels[k + 1] = build_panel(shifts[k + 1])
+            del p0, panels
+    chunks = [_mul_base_fn(accs[j], inv_zh[j]) for j in range(qd)]
     if timing:
         jax.block_until_ready(chunks[-1])
         print(
