@@ -63,8 +63,16 @@ def main() -> None:
             rep = sol.run()
         sol_compact = {
             "roofs": {k: round(v, 1) for k, v in rep["roofs"].items()},
+            "roof_sources": rep["roof_sources"],
             "kernels": {
-                k["kernel"]: round(k["sol_pct"], 1) for k in rep["kernels"]
+                # a roof-defining kernel reports as the roof's SOURCE, not a
+                # (circular) 100% score — VERDICT r3 weak #2
+                k["kernel"]: (
+                    "roof-source:" + "/".join(k["roof_source_for"])
+                    if k.get("roof_source_for")
+                    else round(k["sol_pct"], 1)
+                )
+                for k in rep["kernels"]
             },
         }
     except Exception as e:  # noqa: BLE001 — report without SoL rather than die

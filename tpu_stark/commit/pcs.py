@@ -138,7 +138,19 @@ def _commit_on_host(mmcs, mats_np: List[np.ndarray]):
     ``jax.default_device(cpu)``."""
     import os
 
-    forced = {"TPU_STARK_KECCAK_IMPL": "xla", "TPU_STARK_POSEIDON2_IMPL": "xla"}
+    forced = {
+        "TPU_STARK_KECCAK_IMPL": "xla",
+        "TPU_STARK_POSEIDON2_IMPL": "xla",
+        # layout knobs read jax.default_backend(), which stays "tpu" under
+        # default_device(cpu) — without forcing the stacked (rolled) layouts
+        # the host commit traces the unrolled LANE layouts, whose XLA:CPU
+        # compile runs MINUTES PER SHAPE: the actual root cause of the r3
+        # poseidon2-chain 2^18 ">65 min fold-phase stall" (one such compile
+        # per host-tail fold level; stack captured via faulthandler,
+        # _r4_logs/p2chain_2p16_fixed.log)
+        "TPU_STARK_POSEIDON2_LAYOUT": "stacked",
+        "TPU_STARK_KECCAK_LAYOUT": "stacked",
+    }
     saved = {k: os.environ.get(k) for k in forced}
     os.environ.update(forced)
     try:

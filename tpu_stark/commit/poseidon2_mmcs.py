@@ -223,7 +223,12 @@ def build_layers_from_digests(
             digests = _compress_pairwise(digests, _leaf_layer(*groups[h]))
         layers.append(digests)
     if h > 1:  # host tail (forced XLA impls: Mosaic is TPU-only)
-        forced = {"TPU_STARK_POSEIDON2_IMPL": "xla"}
+        # stacked layout too: the lane layout's XLA:CPU compile runs minutes
+        # per shape (see pcs._commit_on_host note — the r3 stall root cause)
+        forced = {
+            "TPU_STARK_POSEIDON2_IMPL": "xla",
+            "TPU_STARK_POSEIDON2_LAYOUT": "stacked",
+        }
         saved = {k: _os.environ.get(k) for k in forced}
         _os.environ.update(forced)
         try:
