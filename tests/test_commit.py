@@ -27,6 +27,25 @@ class TestMerkleMmcs:
         op = mmcs.open_batch(3, data)
         assert not mmcs.verify_batch(root, [(16, 3)], 4, op)
 
+    def test_host_tail_layers_match_device(self):
+        """Keccak tree host-tail (upper layers on the CPU backend): same
+        root, same verifying openings, mixed-height injection included."""
+        import os
+
+        tall, short = rand_monty(64, 5), rand_monty(8, 2)
+        base_root, _ = MerkleTreeMmcs().commit([tall, short])
+        os.environ["TPU_STARK_MERKLE_HOST_TAIL"] = "4"
+        try:
+            root, data = MerkleTreeMmcs().commit([tall, short])
+        finally:
+            del os.environ["TPU_STARK_MERKLE_HOST_TAIL"]
+        assert tuple(root) == tuple(base_root)
+        assert any(isinstance(l, np.ndarray) for l in data.layers)
+        mmcs = MerkleTreeMmcs()
+        for idx in (0, 13, 63):
+            op = mmcs.open_batch_many([idx], data)[0]
+            assert mmcs.verify_batch(root, [(64, 5), (8, 2)], idx, op)
+
     def test_tamper_detected(self):
         mmcs = MerkleTreeMmcs()
         m = rand_monty(8, 2)

@@ -126,7 +126,9 @@ class MerkleTreeMmcs:
         # dist/sharded.py runs per-shard inside shard_map where Pallas sees
         # local shapes and dispatches normally).
         impl = "xla" if self.sharding is not None else None
-        layers = _build_layers(matrices, salts, impl)
+        layers = _build_layers(
+            matrices, salts, impl, allow_host_tail=self.sharding is None
+        )
         del salts  # lazy handles: drop the transient dense salt matrices now
         # layers stay device-resident; query openings fetch the few digests
         # they touch in one batched transfer (open_batch) — eager host
@@ -363,6 +365,7 @@ def _build_layers(
     matrices: List[jnp.ndarray],
     salts: Optional[List[jnp.ndarray]],
     impl: Optional[str] = None,
+    allow_host_tail: bool = True,
 ) -> List[jnp.ndarray]:
     """Device-side tree build: list of (N_l, 4, 2) digest layers, leaves first.
 
@@ -384,9 +387,30 @@ def _build_layers(
         groups[h] = mats
     max_h = max(groups)
     digests = _leaf_layer(*[gather_if_tiny(m) for m in groups[max_h]], impl=impl)
+    return build_layers_from_digests(
+        digests, max_h, groups, impl=impl, allow_host_tail=allow_host_tail
+    )
+
+
+def build_layers_from_digests(
+    digests, max_h: int, groups: Optional[dict] = None,
+    impl: Optional[str] = None, allow_host_tail: bool = True,
+):
+    """Compress chain from an existing (max_h, 4, 2) leaf-digest layer to the
+    root, with optional per-height injected groups.  Small upper layers build
+    on the host CPU backend (poseidon2_mmcs.build_layers_from_digests
+    rationale: one Mosaic/XLA compile per layer SHAPE costs seconds over the
+    tunnel for microseconds of compute; Keccak digest layers are raw u32 on
+    both sides, so host layers store with no conversion).  Shared with the
+    streamed wide-trace commit (prover/wide.py)."""
+    from .poseidon2_mmcs import _cpu_device, _merkle_host_tail_log
+
+    groups = groups or {}
     layers = [digests]
     h = max_h
-    while h > 1:
+    tail = _merkle_host_tail_log() if allow_host_tail else 0
+    cpu = _cpu_device()
+    while h > 1 and not (tail and cpu is not None and (h >> 1) <= (1 << tail)):
         h >>= 1
         digests = _compress_layer(gather_if_tiny(digests), impl=impl)
         if h in groups:
@@ -396,4 +420,32 @@ def _build_layers(
                 impl=impl,
             )
         layers.append(digests)
+    if h > 1:  # host tail: forced rolled XLA impls (see pcs._commit_on_host)
+        import os as _os
+
+        forced = {
+            "TPU_STARK_KECCAK_IMPL": "xla",
+            "TPU_STARK_KECCAK_LAYOUT": "stacked",
+        }
+        saved = {k: _os.environ.get(k) for k in forced}
+        _os.environ.update(forced)
+        try:
+            digests = jax.device_put(np.asarray(digests), cpu)
+            while h > 1:
+                h >>= 1
+                digests = _compress_layer(digests, impl="xla")
+                if h in groups:
+                    mats = [
+                        jax.device_put(np.asarray(m), cpu) for m in groups[h]
+                    ]
+                    digests = _compress_pairwise(
+                        digests, _leaf_layer(*mats, impl="xla"), impl="xla"
+                    )
+                layers.append(np.asarray(digests))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    _os.environ.pop(k, None)
+                else:
+                    _os.environ[k] = v
     return layers

@@ -70,14 +70,50 @@ def _stage_twiddles(log_h: int, inverse: bool) -> tuple[jnp.ndarray, ...]:
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _dit_core(log_h: int, x: jnp.ndarray, *twiddles: jnp.ndarray) -> jnp.ndarray:
-    """Bit-reverse rows, then log_h butterfly stages. Static unrolled loop —
-    XLA sees straight-line code with static shapes (SURVEY.md par7.2 jit-cache
-    per (log_n, width) plan)."""
+    """Bit-reverse rows, then the butterfly stages, PAIR-FUSED: consecutive
+    radix-2 stages (s, s+1) execute as one radix-4 pass over the array.
+
+    The audited op counts say the stage loop uses <17% of the ALU roof — the
+    binding cost is the per-stage memory pass (reshape/stack relayout +
+    HBM round trip), which the audit's mul/alu counters don't see.  Fusing
+    stage pairs halves the passes at identical arithmetic: the radix-4 block
+    [x0, x1, x2, x3] (stride m) performs EXACTLY the two radix-2 butterfly
+    levels' operations (same multiplies, same adds, same order), so results
+    are bit-identical to the unfused loop and proof bytes are unchanged
+    (differential: tests/test_ntt.py vs the O(n^2) oracle).
+
+    Static unrolled loop — XLA sees straight-line code with static shapes
+    (SURVEY.md par7.2 jit-cache per (log_n, width) plan)."""
     h, w = x.shape
     x = reverse_matrix_index_bits(x)
-    for s in range(log_h):
+    s = 0
+    while s + 1 < log_h:
         m = 1 << s
-        tw = twiddles[s]  # (m,)
+        t1 = twiddles[s]  # (m,)
+        t2 = twiddles[s + 1]  # (2m,)
+        y = x.reshape(h // (4 * m), 4, m, w)
+        x0, x1, x2, x3 = y[:, 0], y[:, 1], y[:, 2], y[:, 3]
+        if s == 0:  # stage-0 twiddle is [1]: montmul by one is the identity
+            u1, u3 = x1, x3
+        else:
+            u1 = bb.mul(x1, t1[None, :, None])
+            u3 = bb.mul(x3, t1[None, :, None])
+        y0 = bb.add(x0, u1)
+        y1 = bb.sub(x0, u1)
+        y2 = bb.add(x2, u3)
+        y3 = bb.sub(x2, u3)
+        # stage s+1: pairs at distance 2m; position j uses t2[j], j+m t2[j+m]
+        v2 = bb.mul(y2, t2[None, :m, None])
+        v3 = bb.mul(y3, t2[None, m:, None])
+        z0 = bb.add(y0, v2)
+        z2 = bb.sub(y0, v2)
+        z1 = bb.add(y1, v3)
+        z3 = bb.sub(y1, v3)
+        x = jnp.stack([z0, z1, z2, z3], axis=1).reshape(h, w)
+        s += 2
+    if s < log_h:  # odd log_h: one trailing radix-2 stage
+        m = 1 << s
+        tw = twiddles[s]
         y = x.reshape(h // (2 * m), 2, m, w)
         lo = y[:, 0]
         hi = bb.mul(y[:, 1], tw[None, :, None])

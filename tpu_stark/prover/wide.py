@@ -399,7 +399,6 @@ def commit_wide(
     chunks ride the carried partial block) — and hiding (salt columns
     absorbed after the row values, per-leaf like the dense MMCS)."""
     from ..commit.merkle import MerkleTreeMmcs
-    from ..commit.merkle import _compress_layer as _keccak_compress
     from ..commit.merkle import _digest_at as _keccak_digest_at
     from ..commit.merkle import ProverData as KeccakProverData
     from ..hash.sponge import KeccakRowStream
@@ -424,12 +423,9 @@ def commit_wide(
             stream.absorb_cols(bb.to_u32(salt_mat))
         digests = stream.finalize()  # (lde_h, 4, 2)
         del salt_mat
-        layers = [digests]
-        h = source.lde_h
-        while h > 1:
-            h >>= 1
-            digests = _keccak_compress(digests)
-            layers.append(digests)
+        from ..commit.merkle import build_layers_from_digests as _keccak_chain
+
+        layers = _keccak_chain(digests, source.lde_h)
         root = _keccak_digest_at(layers[-1], 0)
         data = KeccakProverData(
             [source], None if salt_store is None else [salt_store], layers, root
