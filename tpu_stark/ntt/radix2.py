@@ -87,6 +87,21 @@ def _dit_core(log_h: int, x: jnp.ndarray, *twiddles: jnp.ndarray) -> jnp.ndarray
     h, w = x.shape
     x = reverse_matrix_index_bits(x)
     s = 0
+    # Default radix-2: the explicit radix-4 pair fusion measured NEUTRAL at
+    # 16384x128 (1477 -> 1490 Melems/s) and -5% at 65536x128 (3832 -> 3633)
+    # — XLA already fuses adjacent stages' elementwise work, and the binding
+    # cost at the small shape is per-stage fixed overhead (see OPT-0028).
+    # TPU_STARK_NTT_RADIX4=1 re-enables the fused variant for study.
+    if os.environ.get("TPU_STARK_NTT_RADIX4", "0") in ("0", "off"):
+        s = log_h  # A/B: plain radix-2 loop below handles every stage
+        for s2 in range(log_h):
+            m = 1 << s2
+            tw = twiddles[s2]
+            y = x.reshape(h // (2 * m), 2, m, w)
+            lo = y[:, 0]
+            hi = bb.mul(y[:, 1], tw[None, :, None])
+            x = jnp.stack([bb.add(lo, hi), bb.sub(lo, hi)], axis=1).reshape(h, w)
+        return x
     while s + 1 < log_h:
         m = 1 << s
         t1 = twiddles[s]  # (m,)
