@@ -17,6 +17,10 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_stark_jit_cache")
 
+import faulthandler
+
+faulthandler.dump_traceback_later(600, repeat=True)  # stall forensics
+
 
 def main() -> None:
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 16

@@ -115,7 +115,27 @@ def test_row_blocked_quotient_matches_unblocked():
     from tpu_stark.prover.prove import _register_air, get_log_quotient_degree
     from tpu_stark.prover.wide import quotient_chunks_streamed
 
-    air = KeccakAir()
+    from tpu_stark.air.air import BaseAir
+    from tpu_stark.air.keccak_air import COLS
+
+    # Subset AIR: one partition per structural class (no-next wide, no-next,
+    # next==local, next-disjoint) — full class coverage at 4 compiled
+    # programs per run instead of ~10 (the full-AIR variant of this test ran
+    # ~50 s; the structure, not the partition count, is what's under test)
+    full = KeccakAir().partitions()
+    keep = {"flags", "theta0", "apdef0", "trans1"}
+
+    class SubsetAir(BaseAir):
+        width = COLS
+
+        def partitions(self):
+            return [p for p in full if p.name in keep]
+
+        def eval(self, b):
+            for p in self.partitions():
+                p.eval(b)
+
+    air = SubsetAir()
     trace = generate_trace(num_perms=3, seed=12, dtype=np.uint8)
     n = trace.shape[0]
     pcs = TwoAdicFriPcs(
