@@ -226,11 +226,23 @@ def _measure_ntt(h: int, w: int, reps: int = 8) -> Dict:
 
     ops = audit_ops(radix2.dft_batch, mat)
     calls_s = _timed(chain, mat, reps)
+    # HBM model: the compiled stage loop is one fused pass per radix-2 stage
+    # (fusion breaks at each stage's stack+reshape) + ~2 passes of bit-
+    # reversal gathers; each pass reads + writes the (h, w) u32 array.  This
+    # is what actually binds the kernel (OPT-0028: 65536x128 sustains ~92%
+    # of the measured stream roof; the mul/alu counts sit under 17% of
+    # their roofs at every shape) — without it the report scored the NTT
+    # "3.8% SoL (binding alu)", which misread a bandwidth-saturated kernel
+    # as a compute-idle one.
+    log_h = max(1, h.bit_length() - 1)
+    passes = log_h + 2
     return {
         "kernel": f"ntt_radix2_{h}x{w}",
         "ops": ops,
         "rate": calls_s,
         "melems_s": calls_s * h * w / 1e6,
+        "bytes_per_call": float(passes * 8 * h * w),
+        "hbm_model": f"{passes} passes x rw",
     }
 
 
