@@ -867,27 +867,28 @@ class TwoAdicFriPcs:
                     w = len(row)
                     ro.setdefault(log_h, (0, 0, 0, 0))
                     alpha_ctr.setdefault(log_h, 0)
+                    # alpha powers walk INCREMENTALLY (one emul per column):
+                    # an epow per column cost O(w log) ext muls — at
+                    # keccak-air's 3,608 columns x 100 queries that was the
+                    # bulk of an 84.5 s verify
                     if not pts:
                         # random codeword contribution: sum alpha^k * value
                         acc = ro[log_h]
-                        k = alpha_ctr[log_h]
+                        apow = rf.epow(alpha, alpha_ctr[log_h])
                         for col in range(w):
-                            acc = rf.eadd(
-                                acc,
-                                rf.escale(
-                                    rf.epow(alpha, k + col), int(row[col])
-                                ),
-                            )
+                            acc = rf.eadd(acc, rf.escale(apow, int(row[col])))
+                            apow = rf.emul(apow, alpha)
                         ro[log_h] = acc
                         alpha_ctr[log_h] += w
                         continue
                     for zeta, vals in pts:
                         z_y = rf.escale(zeta, gen_inv)
-                        k = alpha_ctr[log_h]
                         num = (0, 0, 0, 0)
+                        apow = rf.epow(alpha, alpha_ctr[log_h])
                         for col in range(w):
                             t = rf.esub(rf.efrom_base(int(row[col])), tuple(vals[col]))
-                            num = rf.eadd(num, rf.emul(rf.epow(alpha, k + col), t))
+                            num = rf.eadd(num, rf.emul(apow, t))
+                            apow = rf.emul(apow, alpha)
                         denom_inv = rf.einv(rf.esub(rf.efrom_base(y), z_y))
                         ro[log_h] = rf.eadd(ro[log_h], rf.emul(num, denom_inv))
                         alpha_ctr[log_h] += w
