@@ -92,6 +92,40 @@ def _pass_kernel(x_ref, tw_ref, o_ref, *, k: int, a: int):
     o_ref[...] = x
 
 
+def _pass0_kernel(x_ref, tw_ref, o_ref, *, k: int, a: int):
+    """First pass (s0 == 0) on 2D (A, TC) blocks: the general kernel's
+    (A, bt=1, TC) view packs ONE row per (8, 128) tile — 8x sublane waste
+    that capped the r1 kernel at 607 Melems/s.  Here the fused-stage window
+    itself is the sublane axis: rolls by m >= 8 move whole tile rows, rolls
+    by m < 8 are hardware sublane rotations."""
+    x = x_ref[...]  # (A, TC)
+    rowid = jax.lax.broadcasted_iota(jnp.uint32, (a, 1), 0)
+    for l in range(k):
+        m = 1 << l
+        hi = ((rowid >> np.uint32(l)) & np.uint32(1)) == np.uint32(1)
+        tw = tw_ref[l]  # (A, 1) — broadcasts across lanes
+        up = pltpu.roll(x, m, 0)  # x[r - m]
+        down = pltpu.roll(x, a - m, 0)  # x[r + m]
+        partner = jnp.where(hi, up, down)
+        t = bb.mul(jnp.where(hi, x, partner), tw)
+        x = jnp.where(hi, bb.sub(partner, t), bb.add(x, t))
+    o_ref[...] = x
+
+
+@functools.lru_cache(maxsize=None)
+def _pass0_twiddles(k: int, inverse: bool) -> np.ndarray:
+    """(k, A, 1) Monty: stage l twiddle at in-tile row a = w(2^(l+1))^(a mod 2^l)."""
+    a_len = 1 << k
+    rows = np.arange(a_len)
+    out = np.zeros((k, a_len), dtype=np.uint32)
+    for l in range(k):
+        root = bb.two_adic_generator(l + 1)
+        if inverse:
+            root = pow(root, bb.P - 2, bb.P)
+        out[l] = bb.np_to_monty(bb.np_powers(root, 1 << l)[rows % (1 << l)])
+    return out[:, :, None]
+
+
 def _run_pass(
     x: jnp.ndarray, s0: int, k: int, inverse: bool, interpret: bool
 ) -> jnp.ndarray:
@@ -101,6 +135,27 @@ def _run_pass(
     bt = min(b, B_TILE)
     tc = min(LANE_TILE, w)
     assert w % tc == 0
+    if b == 1:
+        tw0 = jnp.asarray(_pass0_twiddles(k, inverse))
+        out = pl.pallas_call(
+            functools.partial(_pass0_kernel, k=k, a=a),
+            grid=(h // a, w // tc),
+            in_specs=[
+                pl.BlockSpec(
+                    (a, tc), lambda ai, ci: (ai, ci), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (k, a, 1), lambda ai, ci: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (a, tc), lambda ai, ci: (ai, ci), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=interpret,
+        )(x, tw0)
+        return out
     xv = x.reshape(h // b, b, w)
     grid = ((h // b) // a, b // bt, w // tc)
     tw = jnp.asarray(_pass_twiddles(s0, k, inverse))
