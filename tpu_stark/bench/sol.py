@@ -266,7 +266,12 @@ def _measure_keccak(n: int = 1 << 20, reps: int = 32) -> Dict:
     with _forced_impl(TPU_STARK_KECCAK_IMPL="xla", TPU_STARK_KECCAK_UNROLL="24",
                       TPU_STARK_KECCAK_LAYOUT="lanes"):
         ops = audit_ops(hash_fn, mat)
-    assert ops.get("while_loops", 0) == 0, "keccak audit twin must be loop-free"
+    # loop-free twin => exact counts; a residual while would re-surface the
+    # "(while: audit undercounts)" caveat in the report rather than abort it
+    if ops.get("while_loops", 0):
+        import sys
+
+        print("warning: keccak audit twin not loop-free", file=sys.stderr)
 
     @jax.jit
     def chain(m):
