@@ -46,6 +46,10 @@ def test_prove_verify_roundtrip():
     )
 
 
+@pytest.mark.slow  # XLA-CPU compile of the 493-col chain quotient
+# dominates the default tier (~100 s); structural coverage stays in
+# test_trace_matches_permutation_chain and prove-based coverage in
+# this slow tier + the on-chip config-3 bench (BENCH_LOCAL r4)
 def test_wrong_final_state_rejected():
     air = Poseidon2ChainAir()
     trace, pis = generate_trace(8, [7] * 16)
@@ -58,6 +62,10 @@ def test_wrong_final_state_rejected():
     )
 
 
+@pytest.mark.slow  # XLA-CPU compile of the 493-col chain quotient
+# dominates the default tier (~100 s); structural coverage stays in
+# test_trace_matches_permutation_chain and prove-based coverage in
+# this slow tier + the on-chip config-3 bench (BENCH_LOCAL r4)
 def test_tampered_sbox_witness_rejected():
     air = Poseidon2ChainAir()
     trace, pis = generate_trace(8, [3] * 16)
