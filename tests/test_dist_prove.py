@@ -44,6 +44,8 @@ def test_sharded_prove_bit_identical_and_verifies(zk):
     assert verify(create_config(zk=zk), air, proof_sharded, pis)
 
 
+@pytest.mark.slow  # zk-sharded verify: covered default-tier by the pod
+# zk byte-identity (test_multihost.py); this 4-dev variant is slow-tier
 def test_sharded_prove_4_devices_zk():
     n = 128
     air, trace, pis = _fib_setup(n)

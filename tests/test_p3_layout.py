@@ -36,6 +36,8 @@ def test_p3_layout_roundtrip_device_rng():
     assert verify(cfg, air, deserialize_proof(blob), pis)
 
 
+@pytest.mark.slow  # p3-layout default coverage = the golden transcript
+# fixture prove (test_golden_transcript.py[p3]); tamper variant slow-tier
 def test_p3_layout_soundness_tamper():
     cfg, air, proof, pis = _prove()
     bad_local = list(proof.opened_values.trace_local)
