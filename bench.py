@@ -24,28 +24,29 @@ def main() -> None:
     from tpu_stark.fields import babybear as bb
     from tpu_stark.ntt import radix2
 
+    from tpu_stark.bench import sol
+
     h, w = 16384, 128
     mat = jnp.asarray(bb.np_to_monty(benchmark_input(h, w)))
 
     # Timing discipline (see bench/sol.py): chain dependent reps inside ONE
     # jitted fori_loop and force a device_get — a queued-call loop with
     # block_until_ready can return before remote execution finishes on the
-    # axon tunnel and over-reports throughput.
-    reps = 20
+    # axon tunnel and over-reports throughput.  Latency-floor-proofed
+    # (OPT-0031): reps auto-scale until total wall time clears 20x the
+    # measured per-dispatch floor (~24 ms on the tunnel), otherwise the
+    # chain measures max(work, floor) — the rounds-1..4 fixed reps=20
+    # harness sat exactly on that floor and reported ~1.5 Gelems/s for a
+    # ~5.6 Gelems/s kernel.
+    def mk(reps):
+        @jax.jit
+        def chain(m):
+            return jax.lax.fori_loop(0, reps, lambda _, v: radix2.dft_batch(v), m)
 
-    @jax.jit
-    def chain(m):
-        return jax.lax.fori_loop(0, reps, lambda _, v: radix2.dft_batch(v), m)
+        return chain
 
-    out = chain(mat)
-    _ = jax.device_get(out.ravel()[0])  # warm compile
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = chain(mat)
-        _ = jax.device_get(out.ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    dt = best / reps
+    calls_s = sol._timed(mk, mat, 20)
+    dt = 1.0 / calls_s
     melems = h * w / dt / 1e6
 
     # Per-kernel speed-of-light report (BASELINE/SURVEY par5.1 requirement):
@@ -62,6 +63,7 @@ def main() -> None:
         with contextlib.redirect_stdout(sys.stderr):
             rep = sol.run()
         sol_compact = {
+            "dispatch_floor_ms": round(rep.get("dispatch_floor_ms", 0.0), 2),
             "roofs": {k: round(v, 1) for k, v in rep["roofs"].items()},
             "roof_sources": rep["roof_sources"],
             "kernels": {
@@ -70,7 +72,11 @@ def main() -> None:
                 k["kernel"]: (
                     "roof-source:" + "/".join(k["roof_source_for"])
                     if k.get("roof_source_for")
-                    else round(k["sol_pct"], 1)
+                    else (
+                        "n/a:vmem-resident"
+                        if k["sol_pct"] is None
+                        else round(k["sol_pct"], 1)
+                    )
                 )
                 for k in rep["kernels"]
             },

@@ -32,6 +32,12 @@ def test_small_report_structure():
     assert any(k.startswith("fri_fold") for k in names)
     for k in rep["kernels"]:
         # the recalibration contract (VERDICT r2 weak #2): no kernel above
-        # its roof — lifting guarantees it by construction
-        assert 0 < k["sol_pct"] <= 100.0 + 1e-9, k
-        assert k["binding"] in rep["roofs"]
+        # its roof — lifting guarantees it for audited resources; a kernel
+        # whose only resource was the (modeled) hbm bytes AND whose model
+        # exceeded the stream roof is unscored (VMEM-resident execution,
+        # r5) rather than allowed to corrupt the roof
+        if k["sol_pct"] is None:
+            assert k.get("hbm_model_exceeds_roof"), k
+        else:
+            assert 0 < k["sol_pct"] <= 100.0 + 1e-9, k
+            assert k["binding"] in rep["roofs"]

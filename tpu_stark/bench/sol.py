@@ -17,6 +17,17 @@ and the hand-derived op counts over-counted what XLA actually executes):
    probes (ILP x chained steps inside one jitted fori_loop, device_get
    forced — the tunnel's block_until_ready returns early); ``hbm`` from a
    streaming read+write sweep.  Probe work is audited with the SAME counter.
+2b. **Latency-floor-proof timing (round 5, OPT-0031).**  Every chain is
+   re-jitted with enough reps that its total wall time clears
+   ``max(20 x dispatch_floor, 0.25 s)``, where ``dispatch_floor`` is the
+   measured fixed cost of one dispatch + device_get round trip (~24 ms on
+   the axon tunnel).  The round-1..4 harness used fixed small reps, so each
+   kernel measurement reported ``max(work, floor)`` — the floor, for every
+   sub-ms kernel.  That artifact produced the r4 report's 2.7%-16% kernel
+   scores, the "four-round NTT plateau" at ~1.5 Gelems/s (actual XLA rate
+   once unfloored: ~5.6 Gelems/s), and the BENCH_LOCAL-vs-driver 92%/58%
+   contradiction the r4 verdict flagged.  The roofs themselves were always
+   measured with >= 100 ms of work and stand.
 3. **Roof lifting.**  If any kernel sustains a higher audited op rate than
    its probe, the roof is LIFTED to that kernel's rate (and the source
    recorded): a roof is "the best rate observed on this chip", so no kernel
@@ -61,13 +72,35 @@ _LINE_RE = re.compile(r"=\s+stablehlo\.(\w+)\b")
 _TENSOR_RE = re.compile(r"tensor<([^>]*)>")
 
 
+_FUNC_RE = re.compile(r"func\.func\b.*?@([\w.$-]+)\(")
+_CALL_RE = re.compile(r"\bcall @([\w.$-]+)")
+
+
 def audit_ops(fn: Callable, *args) -> Dict[str, int]:
     """Count integer multiply / ALU ops in ``fn``'s StableHLO lowering,
-    weighted by result element counts.  ``while_loops`` reports loop bodies
-    counted only once (keep audited fns loop-free for exact counts)."""
+    weighted by result element counts, CALL-GRAPH-WEIGHTED: an outlined
+    function's body counts once per call site reached from ``main``.
+    (``lax.scan`` with unroll == length emits its body as one private
+    function called N times — the r1-r4 flat line count saw it ONCE, a 24x
+    undercount for the Keccak permutation, which is where the r4 report's
+    "keccak_leaf_sponge 2.7% SoL" came from.)  ``while_loops`` reports loop
+    bodies counted only once (keep audited fns loop-free for exact counts)."""
     txt = jax.jit(fn).lower(*args).as_text()
-    counts = {"mul": 0, "alu": 0}
+    funcs: Dict[str, Dict] = {}
+    cur: Dict = {"mul": 0, "alu": 0, "while": 0, "calls": {}}
+    funcs["__toplevel__"] = cur
     for line in txt.splitlines():
+        fm = _FUNC_RE.search(line)
+        if fm:
+            cur = {"mul": 0, "alu": 0, "while": 0, "calls": {}}
+            funcs[fm.group(1)] = cur
+            continue
+        cm = _CALL_RE.search(line)
+        if cm:
+            callee = cm.group(1)
+            cur["calls"][callee] = cur["calls"].get(callee, 0) + 1
+            continue
+        cur["while"] += line.count("stablehlo.while")
         m = _LINE_RE.search(line)
         if not m:
             continue
@@ -84,9 +117,27 @@ def audit_ops(fn: Callable, *args) -> Dict[str, int]:
         elems = 1
         for p in parts[:-1]:
             elems *= int(p)
-        counts[cat] += elems
-    counts["while_loops"] = txt.count("stablehlo.while")
-    return counts
+        cur[cat] += elems
+
+    memo: Dict[str, Dict[str, int]] = {}
+
+    def total(name: str, seen=()) -> Dict[str, int]:
+        if name in memo:
+            return memo[name]
+        f = funcs.get(name)
+        if f is None or name in seen:  # unknown callee / recursion guard
+            return {"mul": 0, "alu": 0, "while": 0}
+        t = {"mul": f["mul"], "alu": f["alu"], "while": f["while"]}
+        for callee, times in f["calls"].items():
+            sub = total(callee, seen + (name,))
+            for k in t:
+                t[k] += times * sub[k]
+        memo[name] = t
+        return t
+
+    root = "main" if "main" in funcs else "__toplevel__"
+    t = total(root)
+    return {"mul": t["mul"], "alu": t["alu"], "while_loops": t["while"]}
 
 
 @contextlib.contextmanager
@@ -108,18 +159,62 @@ def _forced_impl(**env):
 # ---------------------------------------------------------------------------
 # Timing discipline
 # ---------------------------------------------------------------------------
-def _timed(chain: Callable, arg, reps: int) -> float:
-    """Calls/s for a jitted chain of ``reps`` dependent steps (best of 3 —
-    tunnel latency jitters individual timings; device_get forced because the
-    tunnel's block_until_ready can return early)."""
+_FLOOR_MULT = 20.0  # require total >= 20x floor => floor bias <= 5%
+_MIN_TOTAL_S = 0.25
+_MAX_REPS = 1 << 17
+_floor_cache: List[float] = []
+_fast_mode = False  # run(small=True): structural smoke, not a measurement
+
+
+def dispatch_floor() -> float:
+    """Fixed per-call latency of one dispatch + 4-byte device_get, measured
+    live (OPT-0031: ~24 ms on the axon tunnel in the round-5 session; a
+    local chip is ~100x lower).  Every timed chain whose total runtime does
+    not clear this floor measures max(work, floor), not work — the round
+    1..4 fixed-reps harness did exactly that and floored every sub-ms
+    kernel, which is where the r4 report's 2.7%-16% kernel scores and the
+    four-round 1.5 Gelems/s NTT 'plateau' came from."""
+    if not _floor_cache:
+        x = jnp.zeros((8, 128), jnp.uint32)
+        f = jax.jit(lambda v: v + np.uint32(1))
+        _ = jax.device_get(f(x).ravel()[0])
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _ = jax.device_get(f(x).ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        _floor_cache.append(best)
+    return _floor_cache[0]
+
+
+def _best_of(chain: Callable, arg, trials: int = 3) -> float:
     out = chain(arg)
     _ = jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # warm
     best = float("inf")
-    for _ in range(3):
+    for _ in range(trials):
         t0 = time.perf_counter()
         out = chain(arg)
         _ = jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _timed(make_chain: Callable, arg, reps: int) -> float:
+    """Calls/s for a jitted chain of dependent steps, latency-floor-proofed:
+    ``make_chain(reps)`` builds the chain, and ``reps`` is scaled until the
+    total wall time clears ``max(20 x dispatch_floor, 0.25 s)`` so the fixed
+    tunnel round-trip biases the rate by <= 5%.  Best of 3; device_get
+    forced because the tunnel's block_until_ready can return early."""
+    floor = dispatch_floor()
+    target = max(_FLOOR_MULT * floor, _MIN_TOTAL_S)
+    if _fast_mode:  # smoke tier: exercise the scaling path, skip the wait
+        target = 2 * floor
+    for _ in range(4):
+        best = _best_of(make_chain(reps), arg)
+        if best >= target or reps >= _MAX_REPS:
+            break
+        scale = target / max(best, 1e-9) * 1.25
+        reps = min(_MAX_REPS, max(reps + 1, int(reps * scale) + 1))
     return reps / best
 
 
@@ -143,22 +238,25 @@ def mul_roof(n: int = _N, reps: int = 4) -> Dict:
     invariant operand is a VECTOR (like an NTT twiddle column) — multiplying
     by a scalar constant lets XLA fold its limb extracts and over-report."""
 
-    @jax.jit
-    def chain(args):
-        xs, tw = args
+    def mk(reps):
+        @jax.jit
+        def chain(args):
+            xs, tw = args
 
-        def body(_, vs):
-            for _k in range(_INNER):
-                vs = tuple(bb.mul(v, tw) for v in vs)
-            return vs
+            def body(_, vs):
+                for _k in range(_INNER):
+                    vs = tuple(bb.mul(v, tw) for v in vs)
+                return vs
 
-        return jax.lax.fori_loop(0, reps, body, xs)
+            return jax.lax.fori_loop(0, reps, body, xs)
+
+        return chain
 
     base = bb.np_to_monty(np.arange(1, n + 1, dtype=np.uint32) % np.uint32(bb.P))
     xs = tuple(jnp.asarray(base) + np.uint32(i) for i in range(_ILP))
     tw = jnp.asarray(base[::-1].copy())
     per_step = audit_ops(lambda a, t: bb.mul(a, t), xs[0], tw)
-    calls_s = _timed(chain, (xs, tw), reps)
+    calls_s = _timed(mk, (xs, tw), reps)
     return {
         "mul": calls_s * _INNER * _ILP * per_step["mul"],
         "alu": calls_s * _INNER * _ILP * per_step["alu"],
@@ -176,21 +274,24 @@ def alu_roof(n: int = _N, reps: int = 4) -> Dict:
         s = (v << np.uint32(7)) | (v >> np.uint32(25))
         return v ^ (~r & s)
 
-    @jax.jit
-    def chain(x):
-        def body(_, vs):
-            out = []
-            for v in vs:
-                for _k in range(_INNER):
-                    v = step(v)
-                out.append(v)
-            return tuple(out)
+    def mk(reps):
+        @jax.jit
+        def chain(x):
+            def body(_, vs):
+                out = []
+                for v in vs:
+                    for _k in range(_INNER):
+                        v = step(v)
+                    out.append(v)
+                return tuple(out)
 
-        return jax.lax.fori_loop(0, reps, body, x)
+            return jax.lax.fori_loop(0, reps, body, x)
+
+        return chain
 
     xs = tuple(jnp.arange(1 + i, n + 1 + i, dtype=jnp.uint32) for i in range(_ILP))
     per_step = audit_ops(step, xs[0])
-    calls_s = _timed(chain, xs, reps)
+    calls_s = _timed(mk, xs, reps)
     return {
         "mul": calls_s * _INNER * _ILP * per_step["mul"],
         "alu": calls_s * _INNER * _ILP * per_step["alu"],
@@ -201,12 +302,15 @@ def hbm_roof(n: int = 1 << 27, reps: int = 64) -> float:
     """Streaming bytes/s: each fori_loop iteration reads + writes the full
     uint32 array (8 bytes per element per step)."""
 
-    @jax.jit
-    def chain(x):
-        return jax.lax.fori_loop(0, reps, lambda _, v: v + np.uint32(1), x)
+    def mk(reps):
+        @jax.jit
+        def chain(x):
+            return jax.lax.fori_loop(0, reps, lambda _, v: v + np.uint32(1), x)
+
+        return chain
 
     x = jnp.arange(n, dtype=jnp.uint32)
-    return 8.0 * n * _timed(chain, x, reps)
+    return 8.0 * n * _timed(mk, x, reps)
 
 
 # ---------------------------------------------------------------------------
@@ -219,23 +323,29 @@ def _measure_ntt(h: int, w: int, reps: int = 8) -> Dict:
     rng = np.random.default_rng(0)
     mat = jnp.asarray(bb.np_to_monty(rng.integers(0, bb.P, size=(h, w), dtype=np.uint32)))
 
-    @jax.jit
-    def chain(m):
-        # dependent chain: NTT output feeds the next NTT (same shape)
-        return jax.lax.fori_loop(0, reps, lambda _, v: radix2.dft_batch(v), m)
+    def mk(reps):
+        @jax.jit
+        def chain(m):
+            # dependent chain: NTT output feeds the next NTT (same shape)
+            return jax.lax.fori_loop(0, reps, lambda _, v: radix2.dft_batch(v), m)
+
+        return chain
 
     ops = audit_ops(radix2.dft_batch, mat)
-    calls_s = _timed(chain, mat, reps)
-    # HBM model: the compiled stage loop is one fused pass per radix-2 stage
-    # (fusion breaks at each stage's stack+reshape) + ~2 passes of bit-
-    # reversal gathers; each pass reads + writes the (h, w) u32 array.  This
-    # is what actually binds the kernel (OPT-0028: 65536x128 sustains ~92%
-    # of the measured stream roof; the mul/alu counts sit under 17% of
-    # their roofs at every shape) — without it the report scored the NTT
-    # "3.8% SoL (binding alu)", which misread a bandwidth-saturated kernel
-    # as a compute-idle one.
+    calls_s = _timed(mk, mat, reps)
+    # HBM model (IMPLEMENTATION-BOUND, not physics — VERDICT r4 #6): XLA
+    # pair-fuses adjacent radix-2 stages (measured: the un-floored 65536x128
+    # time is BELOW the 1-pass-per-stage model's HBM minimum, so log_h+2
+    # passes overstates traffic and would corrupt roof lifting), giving
+    # ~ceil(log_h/2) stage passes + ~2 bit-reversal passes, each reading +
+    # writing the (h, w) u32 array.  ``passes`` describes THIS
+    # implementation's traffic; deeper fusion (VMEM-resident Pallas passes,
+    # the reference's fft_stage_fused.wgsl move) shrinks it toward ~2-3,
+    # raising the true ceiling several-fold.  A kernel scoring high against
+    # this model is NOT done — it has only exhausted the pair-fused
+    # formulation.
     log_h = max(1, h.bit_length() - 1)
-    passes = log_h + 2
+    passes = (log_h + 1) // 2 + 2
     return {
         "kernel": f"ntt_radix2_{h}x{w}",
         "ops": ops,
@@ -273,15 +383,18 @@ def _measure_keccak(n: int = 1 << 20, reps: int = 32) -> Dict:
 
         print("warning: keccak audit twin not loop-free", file=sys.stderr)
 
-    @jax.jit
-    def chain(m):
-        def body(_, mm):
-            digs = sponge.hash_field_rows_batched(mm)
-            return digs.reshape(mm.shape[0], 8)[:, :6]
+    def mk(reps):
+        @jax.jit
+        def chain(m):
+            def body(_, mm):
+                digs = sponge.hash_field_rows_batched(mm)
+                return digs.reshape(mm.shape[0], 8)[:, :6]
 
-        return jax.lax.fori_loop(0, reps, body, m)
+            return jax.lax.fori_loop(0, reps, body, m)
 
-    calls_s = _timed(chain, mat, reps)
+        return chain
+
+    calls_s = _timed(mk, mat, reps)
     return {
         "kernel": f"keccak_leaf_sponge_N{n}",
         "ops": ops,
@@ -296,12 +409,17 @@ def _measure_poseidon2(n: int = 1 << 20, reps: int = 32) -> Dict:
     rng = np.random.default_rng(0)
     st = jnp.asarray(bb.np_to_monty(rng.integers(0, bb.P, size=(n, 16), dtype=np.uint32)))
 
-    @jax.jit
-    def chain(s):
-        return jax.lax.fori_loop(0, reps, lambda _, v: poseidon2.permute_batched(v), s)
+    def mk(reps):
+        @jax.jit
+        def chain(s):
+            return jax.lax.fori_loop(
+                0, reps, lambda _, v: poseidon2.permute_batched(v), s
+            )
+
+        return chain
 
     ops = audit_ops(poseidon2.permute_batched, st)
-    calls_s = _timed(chain, st, reps)
+    calls_s = _timed(mk, st, reps)
     return {
         "kernel": f"poseidon2_16_N{n}",
         "ops": ops,
@@ -319,16 +437,19 @@ def _measure_poseidon2_sponge(n: int = 1 << 20, reps: int = 32) -> Dict:
     rng = np.random.default_rng(0)
     mat = jnp.asarray(bb.np_to_monty(rng.integers(0, bb.P, size=(n, 6), dtype=np.uint32)))
 
-    @jax.jit
-    def chain(m):
-        def body(_, mm):
-            return poseidon2_mmcs.hash_rows_batched(mm)[:, :6]
+    def mk(reps):
+        @jax.jit
+        def chain(m):
+            def body(_, mm):
+                return poseidon2_mmcs.hash_rows_batched(mm)[:, :6]
 
-        return jax.lax.fori_loop(0, reps, body, m)
+            return jax.lax.fori_loop(0, reps, body, m)
+
+        return chain
 
     with _forced_impl(TPU_STARK_POSEIDON2_IMPL="xla"):
         ops = audit_ops(poseidon2_mmcs.hash_rows_batched, mat)
-    calls_s = _timed(chain, mat, reps)
+    calls_s = _timed(mk, mat, reps)
     return {
         "kernel": f"poseidon2_leaf_sponge_N{n}",
         "ops": ops,
@@ -359,16 +480,19 @@ def _measure_quotient(log_n: int = 18, reps: int = 8) -> Dict:
         bb.np_to_monty(rng.integers(0, bb.P, size=(nc, 4), dtype=np.uint32))
     )
 
-    @jax.jit
-    def chain(t):
-        def body(_, v):
-            q = qfn(v, pis, apows)  # (h, 4) ext
-            return bb.add(v, q[:, :2])  # mix back: dependent chain
+    def mk(reps):
+        @jax.jit
+        def chain(t):
+            def body(_, v):
+                q = qfn(v, pis, apows)  # (h, 4) ext
+                return bb.add(v, q[:, :2])  # mix back: dependent chain
 
-        return jax.lax.fori_loop(0, reps, body, t)
+            return jax.lax.fori_loop(0, reps, body, t)
+
+        return chain
 
     ops = audit_ops(lambda t: qfn(t, pis, apows), trace_on_q)
-    calls_s = _timed(chain, trace_on_q, reps)
+    calls_s = _timed(mk, trace_on_q, reps)
     return {
         "kernel": f"quotient_fib_2^{log_m}",
         "ops": ops,
@@ -392,16 +516,19 @@ def _measure_fri_fold(log_h: int = 22, reps: int = 16) -> Dict:
     def fold(v):
         return _fold_pairs(v.reshape(h // 2, 2, 4), beta, log_h)
 
-    @jax.jit
-    def chain(v):
-        def body(_, vv):
-            folded = fold(vv)  # (h/2, 4)
-            return jnp.concatenate([folded, folded], axis=0)  # keep shape
+    def mk(reps):
+        @jax.jit
+        def chain(v):
+            def body(_, vv):
+                folded = fold(vv)  # (h/2, 4)
+                return jnp.concatenate([folded, folded], axis=0)  # keep shape
 
-        return jax.lax.fori_loop(0, reps, body, v)
+            return jax.lax.fori_loop(0, reps, body, v)
+
+        return chain
 
     ops = audit_ops(fold, cw)
-    calls_s = _timed(chain, cw, reps)
+    calls_s = _timed(mk, cw, reps)
     return {
         "kernel": f"fri_fold_2^{log_h}",
         "ops": ops,
@@ -416,13 +543,16 @@ def _measure_bitrev(h: int = 1 << 22, w: int = 8, reps: int = 16) -> Dict:
     rng = np.random.default_rng(0)
     mat = jnp.asarray(rng.integers(0, bb.P, size=(h, w), dtype=np.uint32))
 
-    @jax.jit
-    def chain(m):
-        return jax.lax.fori_loop(
-            0, reps, lambda _, v: reverse_matrix_index_bits(v) + np.uint32(1), m
-        )
+    def mk(reps):
+        @jax.jit
+        def chain(m):
+            return jax.lax.fori_loop(
+                0, reps, lambda _, v: reverse_matrix_index_bits(v) + np.uint32(1), m
+            )
 
-    calls_s = _timed(chain, mat, reps)
+        return chain
+
+    calls_s = _timed(mk, mat, reps)
     return {
         "kernel": f"bit_reversal_{h}x{w}",
         "ops": {"mul": 0, "alu": 0},
@@ -437,6 +567,8 @@ def _measure_bitrev(h: int = 1 << 22, w: int = 8, reps: int = 16) -> Dict:
 def run(small: bool = False) -> Dict:
     """Measure roofs + kernels, lift roofs by observed kernel rates, score
     each kernel on its binding resource; returns the report dict (printed)."""
+    global _fast_mode
+    _fast_mode = bool(small)
     kw = {"n": 1 << 12, "reps": 4} if small else {}
     mroof = mul_roof(**kw)
     aroof = alu_roof(**kw)
@@ -478,21 +610,39 @@ def run(small: bool = False) -> Dict:
         if "bytes_per_call" in k:
             k["achieved"]["hbm"] = k["rate"] * k["bytes_per_call"]
     # roof lifting: a kernel beating the probe becomes the roof (see module
-    # docstring #3) — guarantees sol <= 100% and records the evidence
-    for res in ("mul", "alu", "hbm"):
+    # docstring #3) — guarantees sol <= 100% and records the evidence.
+    # ONLY audited resources (mul/alu, counted from StableHLO) may lift:
+    # hbm bytes are a per-kernel traffic MODEL, and a model that exceeds
+    # the measured stream roof means the kernel ran (partly) VMEM-resident
+    # and the model overstates its true HBM traffic — the kernel's hbm
+    # score is dropped (flagged) instead of corrupting everyone's roof
+    # (r5: the un-floored 16384x128 NTT "lifted" hbm to 1.24 TB/s this way).
+    for res in ("mul", "alu"):
         for k in kernels:
             ach = k["achieved"].get(res, 0.0)
             if ach > roofs[res]:
                 roofs[res] = ach
                 roof_sources[res] = f"kernel:{k['kernel']}"
     for k in kernels:
+        ach = k["achieved"].get("hbm", 0.0)
+        if ach > roofs["hbm"]:
+            del k["achieved"]["hbm"]
+            k["hbm_model_exceeds_roof"] = (
+                "modeled traffic > stream roof: execution is (partly) "
+                "VMEM-resident, hbm model inapplicable at this shape"
+            )
+    for k in kernels:
         utils = {
             res: 100.0 * k["achieved"].get(res, 0.0) / roofs[res]
             for res in ("mul", "alu", "hbm")
             if k["achieved"].get(res, 0.0) > 0
         }
-        k["binding"] = max(utils, key=utils.get) if utils else "mul"
-        k["sol_pct"] = utils.get(k["binding"], 0.0)
+        if utils:
+            k["binding"] = max(utils, key=utils.get)
+            k["sol_pct"] = utils[k["binding"]]
+        else:  # only resource was a dropped hbm model (VMEM-resident run)
+            k["binding"] = "none"
+            k["sol_pct"] = None
         k["utils"] = utils
         # de-circularize (VERDICT r3 weak #2): a kernel that ITSELF defines
         # a roof is reported as the roof's source, not as "100% SoL" — its
@@ -502,11 +652,17 @@ def run(small: bool = False) -> Dict:
             if roof_sources[res] == f"kernel:{k['kernel']}"
         ]
 
-    report = {"roofs": roofs, "roof_sources": roof_sources, "kernels": kernels}
+    report = {
+        "roofs": roofs,
+        "roof_sources": roof_sources,
+        "kernels": kernels,
+        "dispatch_floor_ms": dispatch_floor() * 1e3,
+    }
     print(
         f"device roofs: mul {roofs['mul']/1e9:.2f} Gop/s ({roof_sources['mul']}), "
         f"alu {roofs['alu']/1e9:.2f} Gop/s ({roof_sources['alu']}), "
-        f"hbm {roofs['hbm']/1e9:.1f} GB/s ({roof_sources['hbm']})"
+        f"hbm {roofs['hbm']/1e9:.1f} GB/s ({roof_sources['hbm']}); "
+        f"dispatch floor {dispatch_floor()*1e3:.1f} ms amortized below 5%"
     )
     for k in kernels:
         extra = "".join(
@@ -515,9 +671,13 @@ def run(small: bool = False) -> Dict:
             if key in k
         )
         wl = " (while: audit undercounts)" if k["ops"].get("while_loops") else ""
+        if k.get("hbm_model_exceeds_roof"):
+            wl += " (hbm model>roof: VMEM-resident)"
         if k["roof_source_for"]:
             label = f"ROOF-SOURCE ({'/'.join(k['roof_source_for'])})"
             print(f"{k['kernel']:28s} {label}{extra}{wl}")
+        elif k["sol_pct"] is None:
+            print(f"{k['kernel']:28s}   n/a SoL{extra}{wl}")
         else:
             print(
                 f"{k['kernel']:28s} {k['sol_pct']:5.1f}% SoL (binding "

@@ -87,8 +87,9 @@ def _pow_dyn_scalar(base_monty: jnp.ndarray, e, nbits: int) -> jnp.ndarray:
 
 def _dif_local(x: jnp.ndarray, log_l: int, twiddles) -> jnp.ndarray:
     """Standard length-2^log_l DIF on a local block: natural in, bitrev out.
-    twiddles = radix2._stage_twiddles tables (table[k] = powers of the order-
-    2^(k+1) generator, length 2^k); DIF walks them largest-half first."""
+    twiddles = radix2._stage_twiddles tables (table[k] = (2, 2^k) canonical
+    powers of the order-2^(k+1) generator + Shoup companions); DIF walks them
+    largest-half first."""
     h, w = x.shape
     for s in range(log_l):
         half = h >> (s + 1)
@@ -98,7 +99,7 @@ def _dif_local(x: jnp.ndarray, log_l: int, twiddles) -> jnp.ndarray:
         lo = bb.add(a, c)
         hi = bb.sub(a, c)
         if half > 1:
-            hi = bb.mul(hi, tw[None, :, None])
+            hi = bb.shoup_mul(hi, tw[0][None, :, None], tw[1][None, :, None])
         else:
             # order-2 generator is -1^0 = 1 on the single lane pair (tw = [1])
             pass
@@ -112,10 +113,13 @@ def _dit_local(x: jnp.ndarray, log_l: int, twiddles) -> jnp.ndarray:
     h, w = x.shape
     for s in range(log_l):
         m = 1 << s
-        tw = twiddles[s]
         y = x.reshape(h // (2 * m), 2, m, w)
         lo = y[:, 0]
-        hi = bb.mul(y[:, 1], tw[None, :, None])
+        if s == 0:  # stage-0 twiddle is [1]
+            hi = y[:, 1]
+        else:
+            tw = twiddles[s]
+            hi = bb.shoup_mul(y[:, 1], tw[0][None, :, None], tw[1][None, :, None])
         x = jnp.stack([bb.add(lo, hi), bb.sub(lo, hi)], axis=1).reshape(h, w)
     return x
 

@@ -648,21 +648,12 @@ def _mul_base_fn(acc, inv_z):
     return ext4.mul_base(acc, inv_z)
 
 
-@functools.lru_cache(maxsize=None)
-def _class_fn(air_key, class_key, log_n: int, log_m: int, num_pis: int):
-    """One jitted constraint-eval program per (air, partition CLASS): panel
-    and next-row columns arrive pre-evaluated on the block's sub-coset; this
-    builds the trace-domain selectors from the block's points and alpha-folds
-    the class's constraints.  Every same-key partition instance reuses it
-    (positions are class-canonical, _panel_cols_for)."""
-    from .prove import _AIR_REGISTRY
-
-    air = _AIR_REGISTRY[air_key]
-    part = next(p for p in air.partitions() if p.key == class_key)
+def _class_eval_fn(part, log_n: int, log_m: int, num_pis: int):
+    """The un-jitted constraint-eval+fold callable for ONE partition
+    instance (see ``_class_fn`` for the class-level contract)."""
     n = 1 << log_n
     last_pt = rf.finv(bb.two_adic_generator(log_n))  # trace domain shift=1
 
-    @jax.jit
     def pfn(panel, next_mat, local_sel, gr_pows, s_k, alpha_slice, pis_monty):
         xs = bb.mul(gr_pows, s_k)  # block points s_k * g^(r*t)
         zh = bb.sub(bb.pow_const(xs, n), bb.monty_ones(xs.shape))
@@ -687,6 +678,59 @@ def _class_fn(air_key, class_key, log_n: int, log_m: int, num_pis: int):
         return b.folded_constraints(alpha_slice)
 
     return pfn
+
+
+@functools.lru_cache(maxsize=None)
+def _class_fn(air_key, class_key, log_n: int, log_m: int, num_pis: int):
+    """One jitted constraint-eval program per (air, partition CLASS): panel
+    and next-row columns arrive pre-evaluated on the block's sub-coset; the
+    program builds the trace-domain selectors from the block's points and
+    alpha-folds the class's constraints.  Every same-key partition instance
+    reuses it (positions are class-canonical, _panel_cols_for).
+
+    The reuse contract — every instance's eval is positionally identical
+    over its class-canonical column order — is CHECKED here (ADVICE r4):
+    each instance's callable is traced to a jaxpr and compared against the
+    representative's; any structural divergence (e.g. a future edit making a
+    class's formula dst-dependent beyond its column lists) raises instead of
+    silently producing verify-failing proofs for non-representative
+    instances.  Trace-only (no compile), once per class per process."""
+    from .prove import _AIR_REGISTRY
+
+    air = _AIR_REGISTRY[air_key]
+    insts = [p for p in air.partitions() if p.key == class_key]
+    rep = insts[0]
+    if len(insts) > 1:
+        m = 1 << log_m
+        counts = partition_counts(air, num_pis)
+        idx = {id(p): i for i, p in enumerate(air.partitions())}
+        u_pad = len(_panel_cols_for(rep))
+        sd = jax.ShapeDtypeStruct
+        args = (
+            sd((m, u_pad), jnp.uint32),
+            sd((m, max(1, len(rep.next_cols))), jnp.uint32),
+            sd((len(rep.local_cols),), jnp.int32),
+            sd((m,), jnp.uint32),
+            sd((), jnp.uint32),
+            sd((counts[idx[id(rep)]], 4), jnp.uint32),
+            sd((num_pis,), jnp.uint32),
+        )
+        want = str(jax.make_jaxpr(_class_eval_fn(rep, log_n, log_m, num_pis))(*args))
+        for p in insts[1:]:
+            if len(_panel_cols_for(p)) != u_pad or counts[idx[id(p)]] != counts[
+                idx[id(rep)]
+            ]:
+                raise ValueError(
+                    f"partition class {class_key!r}: instance shape mismatch "
+                    "(panel cols / constraint count) — class reuse unsound"
+                )
+            got = str(jax.make_jaxpr(_class_eval_fn(p, log_n, log_m, num_pis))(*args))
+            if got != want:
+                raise ValueError(
+                    f"partition class {class_key!r}: instance eval diverges "
+                    "from class representative — class-program reuse unsound"
+                )
+    return jax.jit(_class_eval_fn(rep, log_n, log_m, num_pis))
 
 
 def quotient_chunks_streamed(
