@@ -67,3 +67,43 @@ def test_sharded_prove_2p12_zk_deep_schedule():
     proof_single = prove(create_config(zk=True), air, trace, pis)
     assert serialize_proof(proof_sharded) == serialize_proof(proof_single)
     assert verify(create_config(zk=True), air, proof_sharded, pis)
+
+
+@pytest.mark.slow
+def test_sharded_wide_prove_bit_identical_and_verifies():
+    """Streamed x sharded composition (VERDICT r4 #5): the column-streaming
+    wide prover's per-chunk transforms run the distributed DIF/DIT kernels
+    with rows sharded over the mesh (WideMatrixSource._tf_coeffs_mesh /
+    lde_br_chunk), and the proof must be byte-identical to the single-device
+    wide prove — the mesh only changes where rows live, not the math."""
+    from tpu_stark.air.air import BaseAir
+    from tpu_stark.air.keccak_air import COLS, KeccakAir, generate_trace
+    from tpu_stark.prover.wide import prove_wide
+
+    full = KeccakAir().partitions()
+    keep = {"flags", "theta0", "apdef0", "trans1"}
+
+    class SubsetAir(BaseAir):
+        width = COLS
+
+        def partitions(self):
+            return [p for p in full if p.name in keep]
+
+        def eval(self, b):
+            for p in self.partitions():
+                p.eval(b)
+
+    air = SubsetAir()
+    trace = generate_trace(num_perms=3, seed=12, dtype=np.uint8)
+    mesh = make_row_mesh(8)
+    import os
+
+    os.environ["TPU_STARK_WIDE_CHUNK"] = "1024"
+    try:
+        cfg = lambda **kw: create_config(zk=False, hash="poseidon2", **kw)
+        p_mesh = prove_wide(cfg(mesh=mesh), air, trace, [])
+        p_single = prove_wide(cfg(), air, trace, [])
+    finally:
+        del os.environ["TPU_STARK_WIDE_CHUNK"]
+    assert serialize_proof(p_mesh) == serialize_proof(p_single)
+    assert verify(cfg(), air, p_mesh, [])

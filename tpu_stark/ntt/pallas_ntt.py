@@ -45,11 +45,14 @@ SPLIT_MIN_M = 8  # butterfly span from which the split form is tile-aligned
 
 
 def _plan_passes(log_h: int) -> List[Tuple[int, int]]:
-    """[(s0, k)] covering stages 0..log_h-1 with k <= MAX_FUSED_STAGES."""
-    passes = []
-    s0 = 0
+    """[(s0, k)] covering stages 0..log_h-1: first pass up to 9 fused stages
+    on contiguous blocks, later passes at most 5 (A = 32 outer rows x Bt
+    stride-groups keeps the unrolled stage temps inside Mosaic's scoped-vmem
+    stack; k = 7 blocks measured 2x over the 16 MB limit)."""
+    passes = [(0, min(MAX_FUSED_STAGES, log_h))]
+    s0 = passes[0][1]
     while s0 < log_h:
-        k = min(MAX_FUSED_STAGES, log_h - s0)
+        k = min(5, log_h - s0)
         passes.append((s0, k))
         s0 += k
     return passes
@@ -73,13 +76,12 @@ def _pass0_twiddles(k: int, inverse: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _pass_twiddles(s0: int, k: int, inverse: bool) -> np.ndarray:
+def _pass_twiddles(s0: int, k: int, inverse: bool, bt: int) -> np.ndarray:
     """(B/Bt, 2, k, A, Bt, 1): combined twiddle for local stage l at outer
     row a, stride-group b:  w(2^(s0+l+1))^((a mod 2^l) * 2^s0 + b)
     = w(2^(l+1))^(a mod 2^l) * w(2^(s0+l+1))^b,  canonical + shoup."""
     a_len = 1 << k
     b_len = 1 << s0
-    bt = min(b_len, B_TILE)
     out = np.zeros((b_len // bt, 2, k, a_len, bt), dtype=np.uint32)
     rows = np.arange(a_len)
     for l in range(k):
@@ -160,7 +162,9 @@ def _run_pass(
     h, w = x.shape
     a = 1 << k
     b = 1 << s0
-    bt = min(b, B_TILE)
+    # block VMEM footprint ~ a*bt*tc x (I/O double-buffers + stage temps):
+    # cap blocks at ~256 KB or Mosaic's scoped-vmem stack blows past 16 MB
+    bt = min(b, B_TILE if a < 64 else 8)
     tc = min(LANE_TILE, w)
     assert w % tc == 0
     if b == 1:
@@ -186,7 +190,7 @@ def _run_pass(
         return out
     xv = x.reshape(h // b, b, w)
     grid = ((h // b) // a, b // bt, w // tc)
-    tw = jnp.asarray(_pass_twiddles(s0, k, inverse))
+    tw = jnp.asarray(_pass_twiddles(s0, k, inverse, bt))
     out = pl.pallas_call(
         functools.partial(_pass_kernel, k=k, a=a),
         grid=grid,

@@ -93,12 +93,13 @@ def _dit_core(log_h: int, x: jnp.ndarray, *twiddles: jnp.ndarray) -> jnp.ndarray
     h, w = x.shape
     x = reverse_matrix_index_bits(x)
     s = 0
-    # Default radix-2: the explicit radix-4 pair fusion measured NEUTRAL at
-    # 16384x128 (1477 -> 1490 Melems/s) and -5% at 65536x128 (3832 -> 3633)
-    # — XLA already fuses adjacent stages' elementwise work, and the binding
-    # cost at the small shape is per-stage fixed overhead (see OPT-0028).
-    # TPU_STARK_NTT_RADIX4=1 re-enables the fused variant for study.
-    if os.environ.get("TPU_STARK_NTT_RADIX4", "0") in ("0", "off"):
+    # Default radix-4 (round 5): with the dispatch-floor artifact removed
+    # (OPT-0031) the r4 "radix-4 is neutral" A/B inverted — pair fusion is
+    # +9% at 65536x128 (8,962 vs 8,236 Melems/s) and equal at 16384x128
+    # (where the whole transform runs VMEM-resident anyway).  Identical
+    # arithmetic in identical order => bit-identical outputs (differential:
+    # tests/test_ntt.py).  TPU_STARK_NTT_RADIX4=0 restores the plain loop.
+    if os.environ.get("TPU_STARK_NTT_RADIX4", "1") in ("0", "off"):
         s = log_h  # A/B: plain radix-2 loop below handles every stage
         for s2 in range(log_h):
             m = 1 << s2

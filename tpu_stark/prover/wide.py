@@ -193,6 +193,20 @@ class WideMatrixSource:
             self._zk_key = DeviceRng(zk_seed, "trace")._key
         # relabeling scale onto the plain frame (same as pcs.commit)
         self._sigma = (bb.GENERATOR * rf.finv(domain.shift)) % bb.P
+        # Streamed x sharded composition (VERDICT r4 #5): when the PCS's dft
+        # facade is the mesh one (ShardedDft, dist/pcs.py), every per-chunk
+        # transform runs the distributed DIF/DIT kernels with rows sharded
+        # over the mesh — column-streaming (this class) composes with
+        # row-sharding (dist/ntt.py), the 2^24-scale layout BASELINE's
+        # multi-chip north star names.  Gated on the bitrev-reshard minimum
+        # (every transform height >= n_dev^2); smaller traces fall back to
+        # the replicated per-chunk pipeline unchanged.
+        self._mesh = None
+        mesh = getattr(dft, "mesh", None)
+        if mesh is not None:
+            log_nd = log2_strict(int(mesh.devices.size))
+            if self.log_n >= 2 * log_nd:
+                self._mesh = mesh
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -236,10 +250,31 @@ class WideMatrixSource:
         full = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         return full[:, jnp.asarray(inverse.astype(np.int32))]
 
+    def _tf_coeffs_mesh(self, cols_dev, rand) -> jnp.ndarray:
+        """Mesh twin of the _tf_coeffs_* programs: sharded iNTT via the
+        distributed kernels; zk doubles rows as [q - r ; r] like the dense
+        construction (identical values => byte-identical proofs)."""
+        from ..dist import ntt as dntt
+
+        mesh = self._mesh
+        evals = _monty_cols_fn(self.trace_dev, cols_dev)
+        evals = jax.device_put(evals, dntt.row_sharding(mesh))
+        br = dntt.bitrev_reshard_fn(mesh, self.log_n)(evals)
+        q = dntt.idft_from_br_fn(mesh, self.log_n)(br)
+        if rand is None:
+            return q
+        rand = jax.device_put(rand, dntt.row_sharding(mesh))
+        return jnp.concatenate([bb.sub(q, rand), rand], axis=0)
+
     def tf_coeffs_chunk(self, off: int, wc: int) -> jnp.ndarray:
         """(n_committed, wc) TRACE-FRAME committed coefficients of the
         aligned chunk [off, off+wc)."""
         cols = jnp.asarray(np.arange(off, off + wc))
+        if self._mesh is not None:
+            rand = (
+                self._rand_chunk(off // self.col_chunk, wc) if self.zk else None
+            )
+            return self._tf_coeffs_mesh(cols, rand)
         if self.zk:
             return _tf_coeffs_zk_chunk_fn(
                 self.trace_dev, cols, self._zk_key,
@@ -252,6 +287,10 @@ class WideMatrixSource:
         columns (no plain-frame relabel) — the streamed quotient evaluates
         T' on the quotient sub-cosets from these."""
         cols_dev = jnp.asarray(np.asarray(cols))
+        if self._mesh is not None:
+            return self._tf_coeffs_mesh(
+                cols_dev, self._rand_cols(cols) if self.zk else None
+            )
         if self.zk:
             return _tf_coeffs_zk_cols_fn(
                 self.trace_dev, cols_dev, self._rand_cols(cols)
@@ -265,6 +304,16 @@ class WideMatrixSource:
 
     def lde_br_chunk(self, off: int, wc: int) -> jnp.ndarray:
         """(lde_h, wc) bit-reversed committed-codeword columns."""
+        if self._mesh is not None:
+            from ..dist import ntt as dntt
+
+            mesh = self._mesh
+            log_nc = log2_strict(self.n_committed)
+            tf = self.tf_coeffs_chunk(off, wc)
+            r_small = dntt.scale_rows_by_powers_fn(mesh, log_nc, self._sigma)(tf)
+            r_pad = dntt._pad_rows_fn(mesh, log_nc, self.log_blowup, wc)(r_small)
+            # dist dft_br_fn's output IS the bit-reversed committed frame
+            return dntt.dft_br_fn(mesh, log_nc + self.log_blowup)(r_pad)
         return _lde_br_fn(
             self.tf_coeffs_chunk(off, wc), self._sigma_pows(), self.log_blowup
         )
