@@ -502,8 +502,11 @@ def _measure_quotient(log_n: int = 18, reps: int = 8) -> Dict:
 
 
 def _measure_fri_fold(log_h: int = 22, reps: int = 16) -> Dict:
-    """One arity-2 FRI fold level (pcs.py::_fold_pairs) at 2^log_h ext rows."""
-    from ..commit.pcs import _fold_pairs
+    """One arity-2 FRI fold level at 2^log_h ext rows, with the per-level
+    1/(2y) table passed in as the production fold loop does (device-cached
+    per level, OPT-0032 — rebuilding it in-graph per fold was the r1-r4
+    shape of this kernel AND of this measurement)."""
+    from ..commit.pcs import _fold_eo_jit, _fold_inv2y
     from ..fields import extension as ext4
 
     h = 1 << log_h
@@ -512,23 +515,27 @@ def _measure_fri_fold(log_h: int = 22, reps: int = 16) -> Dict:
         bb.np_to_monty(rng.integers(0, bb.P, size=(h, 4), dtype=np.uint32))
     )
     beta = ext4.scalar((3, 1, 4, 1))
+    inv2y = _fold_inv2y(log_h)
 
-    def fold(v):
-        return _fold_pairs(v.reshape(h // 2, 2, 4), beta, log_h)
+    def fold(v, t):
+        p = v.reshape(h // 2, 2, 4)
+        return _fold_eo_jit(p[:, 0], p[:, 1], beta, t)
 
     def mk(reps):
         @jax.jit
-        def chain(v):
+        def chain(args):
+            v, t = args
+
             def body(_, vv):
-                folded = fold(vv)  # (h/2, 4)
+                folded = fold(vv, t)  # (h/2, 4)
                 return jnp.concatenate([folded, folded], axis=0)  # keep shape
 
             return jax.lax.fori_loop(0, reps, body, v)
 
         return chain
 
-    ops = audit_ops(fold, cw)
-    calls_s = _timed(mk, cw, reps)
+    ops = audit_ops(fold, cw, inv2y)
+    calls_s = _timed(mk, (cw, inv2y), reps)
     return {
         "kernel": f"fri_fold_2^{log_h}",
         "ops": ops,

@@ -1051,23 +1051,47 @@ def _fold_pairs(pairs: jnp.ndarray, beta_dev: jnp.ndarray, log_h: int) -> jnp.nd
     return _fold_eo(pairs[:, 0], pairs[:, 1], beta_dev, log_h)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _fold_eo(e: jnp.ndarray, o: jnp.ndarray, beta_dev: jnp.ndarray, log_h: int) -> jnp.ndarray:
-    """One arity-2 FRI fold in bit-reversed plain frame: even/odd halves
-    (H/2, 4); result (H/2, 4) on the squared domain."""
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fold_inv2y_build(log_h: int) -> jnp.ndarray:
+    """(2^(log_h-1),) Monty 1/(2*y_j), y[j] = g_lh^(bitrev_{lh-1}(j)) —
+    built ON DEVICE (bitrev of iota + square-and-multiply + Fermat inverse):
+    a host table as a traced literal made the compile REQUEST itself 256 MB
+    at 2^26 rows (remote-compile HTTP 413; the OPT-0022 pathology)."""
     half = (bb.P + 1) // 2
-    # point of each pair's even element: y[j] = g_lh^(bitrev_{lh-1}(j)),
-    # built IN-GRAPH (bitrev of iota + square-and-multiply) — the host
-    # table as a traced literal made the compile REQUEST itself 256 MB at
-    # 2^26 rows (remote-compile HTTP 413; the OPT-0022 pathology)
-    h2 = e.shape[0]
+    h2 = 1 << (log_h - 1)
     exps = reverse_matrix_index_bits(
         jnp.arange(h2, dtype=bb.u32)[:, None]
     ).ravel()
     y = bb.pow_exponents(bb.two_adic_generator(log_h), exps, log_h)
-    inv_2y = bb.mul(
-        bb.inv(y), jnp.asarray(np.uint32(bb.host_to_monty(half)))
-    )
-    half_sum = ext4.scale(ext4.add(e, o), bb.monty_scalar(half))
+    return bb.mul(bb.inv(y), jnp.asarray(np.uint32(bb.host_to_monty(half))))
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_inv2y_dev(log_h: int, _devkey: str) -> jnp.ndarray:
+    out = _fold_inv2y_build(log_h)
+    jax.block_until_ready(out)
+    return out
+
+
+def _fold_inv2y(log_h: int) -> jnp.ndarray:
+    """Per-level fold constant, cached as a DEVICE buffer (OPT-0032): the
+    r1-r4 fold rebuilt it inside every fold call — a bitrev gather, a
+    log_h-step exponent walk, and a ~45-multiply Fermat inversion per call
+    dominated the fold's runtime (fri_fold scored 13.9% SoL with the ext
+    arithmetic itself nowhere near binding)."""
+    if bb._tracing():
+        return _fold_inv2y_build(log_h)  # in-graph when called under jit
+    return _fold_inv2y_dev(log_h, bb._default_device_key())
+
+
+def _fold_eo(e: jnp.ndarray, o: jnp.ndarray, beta_dev: jnp.ndarray, log_h: int) -> jnp.ndarray:
+    """One arity-2 FRI fold in bit-reversed plain frame: even/odd halves
+    (H/2, 4); result (H/2, 4) on the squared domain."""
+    return _fold_eo_jit(e, o, beta_dev, _fold_inv2y(log_h))
+
+
+@jax.jit
+def _fold_eo_jit(e, o, beta_dev, inv_2y) -> jnp.ndarray:
+    half_sum = ext4.scale(ext4.add(e, o), bb.monty_scalar((bb.P + 1) // 2))
     half_diff = _ext_scale_rows(ext4.sub(e, o), inv_2y)
     return ext4.add(half_sum, ext4.mul(beta_dev[None, :], half_diff))
