@@ -160,15 +160,34 @@ def run_case(h: int, w: int, use_tpu: bool) -> CaseResult:
     )
 
     dev_resident = jax.device_put(jnp.asarray(monty), tpu_dev)
-    KERNEL_INNER = 16
+    # Kernel tier (OPT-0031): one jitted chain of KERNEL_INNER dependent
+    # transforms + a forced device_get — block_until_ready returns early on
+    # the tunnel, and a queued-call loop measured submit rate, not kernel
+    # time.  The measured per-dispatch floor is subtracted from each sample
+    # before amortizing (the analog of the reference timing GPU work with
+    # device timestamps rather than fence waits, backend_vulkan.rs:1353-1384).
+    KERNEL_INNER = 64
+    from . import sol as _sol
+
+    floor_ms = _sol.dispatch_floor() * 1e3
+    chain = jax.jit(
+        lambda x: jax.lax.fori_loop(
+            0, KERNEL_INNER, lambda _, v: radix2.dft_batch(v), x
+        ),
+        device=tpu_dev,
+    )
 
     def kernel_once():
-        out = None
-        for _ in range(KERNEL_INNER):  # queue back-to-back, one sync
-            out = radix2.dft_batch(dev_resident)
-        out.block_until_ready()
+        out = chain(dev_resident)
+        jax.device_get(out.ravel()[0])
 
-    kernel = _time_repeats(kernel_once, inner=KERNEL_INNER)
+    kernel_raw = _time_repeats(kernel_once)
+    kernel = Stats(
+        *(
+            max(t - floor_ms, t / 20) / KERNEL_INNER
+            for t in (kernel_raw.avg_ms, kernel_raw.median_ms, kernel_raw.p95_ms)
+        )
+    )
 
     # differential correctness check (fib_air.rs:192-196)
     tpu_out = np.asarray(radix2.dft_batch(dev_resident))
