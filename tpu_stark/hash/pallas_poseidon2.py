@@ -52,13 +52,14 @@ def _permute_lanes(lanes, n_ext: int, n_int: int):
     constants.  ``n_ext``/``n_int`` < full round counts exist only for the
     interpret-mode CI tests (see pallas_keccak.py rationale — the round
     functions themselves are pinned by tests/test_poseidon2.py)."""
-    ext_rc, int_rc, diag = poseidon2._consts_monty(WIDTH)
+    ext_rc, int_rc, _diag = poseidon2._consts_monty(WIDTH)
+    mulers = poseidon2._diag_mulers(WIDTH)
     half = n_ext // 2
     lanes = poseidon2._external_mds_lanes(list(lanes))
     for r in range(half):
         lanes = poseidon2._ext_round_lanes(lanes, ext_rc[r])
     for r in range(n_int):
-        lanes = poseidon2._int_round_lanes(lanes, int_rc[r], diag)
+        lanes = poseidon2._int_round_lanes(lanes, int_rc[r], mulers)
     for r in range(half, n_ext):
         lanes = poseidon2._ext_round_lanes(lanes, ext_rc[r])
     return lanes
