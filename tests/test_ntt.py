@@ -161,3 +161,15 @@ class TestFourStep:
         back = radix2._four_step_core(log_h, True, fwd)
         h_inv = bb.monty_scalar(pow(1 << log_h, bb.P - 2, bb.P))
         np.testing.assert_array_equal(from_dev(bb.mul(back, h_inv)), mat)
+
+    def test_transposed_core_matches(self):
+        """(w,h)-boundary variant (`_four_step_core_T`, the big-narrow layout
+        detour — _r5_logs/narrow_layout_probe.md) is bit-identical to the
+        (h,w) core on both directions."""
+        for log_h, w in ((6, 1), (7, 2), (10, 5)):
+            mat = rand_mat(1 << log_h, w)
+            for inverse in (False, True):
+                want = from_dev(radix2._four_step_core(log_h, inverse, to_dev(mat)))
+                got_t = radix2._four_step_core_T(log_h, inverse, to_dev(mat).T)
+                np.testing.assert_array_equal(
+                    from_dev(got_t).T, want, err_msg=f"log_h={log_h} w={w} inv={inverse}")

@@ -214,6 +214,63 @@ def _four_step_core(log_h: int, inverse: bool, x: jnp.ndarray) -> jnp.ndarray:
     return d.reshape(h, w)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _four_step_core_T(log_h: int, inverse: bool, xt: jnp.ndarray) -> jnp.ndarray:
+    """`_four_step_core` with TRANSPOSED (w, h) jit boundaries.
+
+    The 2026-08-22 tunnel-service compiler window materializes any
+    `(h, w<lanes)` narrow array touched by a row-splitting reshape as a
+    tile-padded `{1,0:T(8,128)}` copy — 64x the logical bytes, i.e. 32 GiB
+    for u32[2^26, 2], which either fails memory assignment (16 GiB HBM) or
+    crashes the compile helper.  Measured ladder: (2^24, 2) compiles,
+    (2^25, 2)+ does not — which r4 code also hits, so this is a service
+    regression, not ours (probe: `_r5_logs/narrow_layout_probe.md`).  With
+    (w, h) boundaries every internal shape is wide and the program compiles
+    and runs at 2^26 in ~0.2 s warm.  Callers eagerly transpose around this
+    core (standalone (h,w)<->(w,h) transposes stay compact: measured 0.4 s
+    at 2^26); the two extra HBM passes are ~2 ms against the >100 ms
+    transform."""
+    w, h = xt.shape
+    l1 = (log_h + 1) // 2
+    l2 = log_h - l1
+    n1, n2 = 1 << l1, 1 << l2
+    a = xt.reshape(w, n1, n2).transpose(1, 2, 0).reshape(n1, n2 * w)
+    b = _dit_core(l1, a, *_stage_twiddles(l1, inverse))
+    root = bb.two_adic_generator(log_h)
+    if inverse:
+        root = pow(root, bb.P - 2, bb.P)
+    e = (
+        jnp.arange(n1, dtype=bb.u32)[:, None] * jnp.arange(n2, dtype=bb.u32)
+    ) & np.uint32((1 << log_h) - 1)
+    t = bb.pow_exponents(root, e, log_h)
+    b = bb.mul(b.reshape(n1, n2, w), t[:, :, None])
+    c = b.transpose(1, 0, 2).reshape(n2, n1 * w)
+    d = _dit_core(l2, c, *_stage_twiddles(l2, inverse))
+    # out[k2*n1 + k1] row order == d's (n2, n1) row blocks; transpose back to
+    # (w, h) so the boundary stays wide
+    return d.reshape(n2, n1, w).transpose(2, 0, 1).reshape(w, h)
+
+
+_transpose_dev = jax.jit(lambda a: a.T)
+
+
+def _t_reroute_log() -> int:
+    """Min log_h at which the narrow four-step detours through the (w, h)
+    transposed core (see `_four_step_core_T`).  Default 25 = the smallest
+    size the current service window fails; TPU_STARK_NTT_TROUTE overrides
+    (99 disables)."""
+    return int(os.environ.get("TPU_STARK_NTT_TROUTE") or "25")
+
+
+def _four_step(log_h: int, inverse: bool, mat: jnp.ndarray) -> jnp.ndarray:
+    if log_h >= _t_reroute_log() and not isinstance(
+        mat, jax.core.Tracer
+    ):  # traced callers keep one fused program; eager big-narrow detours
+        out_t = _four_step_core_T(log_h, inverse, _transpose_dev(mat))
+        return _transpose_dev(out_t)
+    return _four_step_core(log_h, inverse, mat)
+
+
 def _narrow_mode(h: int, w: int) -> str | None:
     """Dispatch policy for tall-narrow inputs on accelerators.
 
@@ -247,7 +304,7 @@ def dft_batch(mat: jnp.ndarray) -> jnp.ndarray:
 
         return mxu_ntt.dft_batch(mat, use_pallas=True)
     if mode == "vpu4":
-        return _four_step_core(log_h, False, mat)
+        return _four_step(log_h, False, mat)
     return _dit_core(log_h, mat, *_stage_twiddles(log_h, False))
 
 
@@ -263,7 +320,7 @@ def idft_batch(mat: jnp.ndarray) -> jnp.ndarray:
 
         return mxu_ntt.idft_batch(mat, use_pallas=True)
     if mode == "vpu4":
-        out = _four_step_core(log_h, True, mat)
+        out = _four_step(log_h, True, mat)
     else:
         out = _dit_core(log_h, mat, *_stage_twiddles(log_h, True))
     h_inv = bb.monty_scalar(pow(h, bb.P - 2, bb.P))
