@@ -256,10 +256,15 @@ _transpose_dev = jax.jit(lambda a: a.T)
 
 def _t_reroute_log() -> int:
     """Min log_h at which the narrow four-step detours through the (w, h)
-    transposed core (see `_four_step_core_T`).  Default 25 = the smallest
-    size the current service window fails; TPU_STARK_NTT_TROUTE overrides
-    (99 disables)."""
-    return int(os.environ.get("TPU_STARK_NTT_TROUTE") or "25")
+    transposed core (see `_four_step_core_T`).  The padded internal copy
+    costs h*128*4 bytes REGARDLESS of w (<128 lanes pad to 128), so the
+    gate keys on h alone: (2^25, 2) fails compile outright, and a
+    (2^24, 8) quotient-commit idft runtime-OOMed the 2^24 prove (8 GiB
+    copy on top of ~4 GB of live arrays).  Default 22 keeps the copy
+    risk <= 2 GiB; below that the two extra ~25 ms transpose dispatches
+    would be a larger fraction of the transform.  TPU_STARK_NTT_TROUTE
+    overrides (99 disables)."""
+    return int(os.environ.get("TPU_STARK_NTT_TROUTE") or "22")
 
 
 def _four_step(log_h: int, inverse: bool, mat: jnp.ndarray) -> jnp.ndarray:
