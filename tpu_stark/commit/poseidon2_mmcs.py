@@ -344,11 +344,14 @@ class Poseidon2Mmcs:
                 fetch.append(bb.to_u32(m[jnp.asarray(rows_np)]))
             if data.salts is not None:
                 s = data.salts[k]
-                fetch.append(
-                    bb.np_from_monty(np.asarray(s)[rows_np])
-                    if isinstance(s, np.ndarray)
-                    else bb.to_u32(s[jnp.asarray(rows_np)])
-                )
+                if hasattr(s, "materialize"):  # lazy salt descriptor
+                    # (device_rng.LazyMatrix — regenerate-on-demand, same
+                    # handling as merkle.MerkleTreeMmcs.rows_u32)
+                    fetch.append(bb.to_u32(s.materialize()[jnp.asarray(rows_np)]))
+                elif isinstance(s, np.ndarray):
+                    fetch.append(bb.np_from_monty(s[rows_np]))
+                else:
+                    fetch.append(bb.to_u32(s[jnp.asarray(rows_np)]))
         cur = idx_np
         for l in range(log_max):
             layer = data.layers[l]
